@@ -1,0 +1,238 @@
+"""Public compress / decompress API.
+
+Reference counterparts: dctz_compress (dctz-comp-lib.c:90-846) and
+dctz_decompress (dctz-decomp-lib.c:51-548). The orchestration here is split
+TPU-natively:
+
+  device (one jitted XLA program each way):
+      stats -> scale -> batched-matmul block DCT -> quantize -> AC compaction
+      (compress), and the exact mirror for decompress. Everything is static-
+      shaped; the variable-length AC stream lives in a fixed-capacity buffer
+      whose true length is a scalar output.
+  host (thread pool / native extension):
+      zlib entropy stage + container assembly, overlapped across streams like
+      the reference's three pthreads (dctz-comp-lib.c:620-732).
+
+The jitted programs are cached per (shape, dtype, config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import warnings
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CodecConfig
+from .core import constants as C
+from .core import container as ct
+from .core import entropy
+from .core import quantize as qz
+from .core import transform
+from .core.stats import calc_data_stat
+
+
+def _pad_coeffs(main_c: jax.Array, tail_c: jax.Array, block_size: int) -> jax.Array:
+    """Stack main blocks and the (padded) remainder block into (nblk, bs)."""
+    if tail_c.shape[0] == 0:
+        return main_c
+    pad = jnp.zeros((block_size - tail_c.shape[0],), main_c.dtype)
+    tail_row = jnp.concatenate([tail_c, pad])[None, :]
+    return jnp.concatenate([main_c, tail_row], axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _encode_device(x: jax.Array, n: int, cfg: CodecConfig, ac_capacity: int):
+    """Full device-side compression pipeline (scale+DCT+quantize+compact)."""
+    stats = calc_data_stat(x, cfg.sf_adj)
+    xs = x / stats.sf  # reference divides in place (dctz-comp-lib.c:198)
+    main_c, tail_c = transform.forward(xs, cfg.block_size)
+    coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
+    q = qz.encode(coeffs, n, cfg, ac_capacity)
+    return q, stats
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _decode_device(
+    bin_ids: jax.Array,
+    dc: jax.Array,
+    ac_buf: jax.Array,
+    n: int,
+    cfg: CodecConfig,
+    dtype: str,
+    sf_weak_type: bool,
+    sf: jax.Array,
+    qtable: jax.Array | None,
+):
+    """Full device-side decompression pipeline (dequantize+IDCT+unscale)."""
+    del sf_weak_type  # part of the cache key only
+    coeffs = qz.decode(bin_ids, dc, ac_buf, qtable, n, cfg, jnp.dtype(dtype))
+    n_full = n // cfg.block_size
+    rem = n % cfg.block_size
+    main_c = coeffs[:n_full]
+    tail_c = coeffs[n_full, :rem] if rem else jnp.zeros((0,), coeffs.dtype)
+    x = transform.inverse(main_c, tail_c)
+    return (x * sf.astype(x.dtype))[:n]
+
+
+def _resolve_input(x, cfg: CodecConfig) -> jax.Array:
+    """Validate dtype / x64 availability; apply internal_dtype policy."""
+    arr = jnp.asarray(x)
+    if arr.ndim != 1:
+        arr = arr.reshape(-1)  # reference treats data as flat 1-D
+    if arr.dtype not in (jnp.float32, jnp.float64):
+        raise TypeError(f"unsupported dtype {arr.dtype}; use float32/float64")
+    if cfg.internal_dtype == "float32" and arr.dtype == jnp.float64:
+        arr = arr.astype(jnp.float32)
+    if (
+        np.dtype(x.dtype if hasattr(x, "dtype") else np.float64) == np.float64
+        and arr.dtype == jnp.float32
+        and cfg.internal_dtype == "auto"
+    ):
+        warnings.warn(
+            "float64 input was downcast to float32 because jax x64 is "
+            "disabled; enable jax_enable_x64 for full-precision parity",
+            stacklevel=3,
+        )
+    return arr
+
+
+def compress(
+    x: Any,
+    error_bound: float = 1e-3,
+    mode: str = "ec",
+    *,
+    config: CodecConfig | None = None,
+) -> bytes:
+    """Compress a flat float array; returns the container bytes.
+
+    Equivalent to dctz_compress (dctz-comp-lib.c:90) with the mode selected
+    at runtime instead of compile time.
+    """
+    cfg = config or CodecConfig(mode=mode, error_bound=error_bound)
+    src_dtype = np.dtype(getattr(x, "dtype", np.float64))
+    arr = _resolve_input(x, cfg)
+    n = int(arr.shape[0])
+    if n == 0:
+        raise ValueError("cannot compress an empty array")
+
+    q, stats = _encode_device(arr, n, cfg, n)
+    # One host sync: pull the streams (the scalars ride along).
+    bin_ids, dc, ac_buf, ac_count, sf, mean = jax.device_get(
+        (q.bin_ids, q.dc, q.ac_buf, q.ac_count, stats.sf, stats.mean)
+    )
+    ac_count = int(ac_count)
+    ac = ac_buf[:ac_count]
+    qtable = jax.device_get(q.qtable) if q.qtable is not None else None
+
+    # The header always records the ORIGINAL dtype: with internal_dtype=
+    # "float32" the streams are float32 either way (USE_TRUNCATE semantics),
+    # so a float64 file stays declared float64 and decodes at full width.
+    header = ct.Header(
+        dtype=src_dtype,
+        num_elements=n,
+        error_bound=cfg.error_bound,
+        ac_count=ac_count,
+        scaling_factor=float(sf),
+        mean=float(mean),
+        bindex_nbytes=0,
+        dc_nbytes=0,
+        ac_nbytes=0,
+        mode=cfg.mode,
+        block_size=cfg.block_size,
+        nbins=cfg.nbins,
+        truncate=cfg.truncate,
+    )
+    flat_ids = bin_ids.reshape(-1)[:n]
+
+    if cfg.container == "v1":
+        bz, dz, az = entropy.deflate_streams(
+            [flat_ids.tobytes(), dc.tobytes(), ac.tobytes()], cfg.zlib_level
+        )
+        header.bindex_nbytes = len(bz)
+        header.dc_nbytes = len(dz)
+        header.ac_nbytes = len(az)
+        return ct.pack_v1(header, bz, dz, az, qtable)
+
+    streams = (
+        entropy.chunked_deflate(flat_ids.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(dc.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(ac.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+    )
+    return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
+
+
+def _header_config(header: ct.Header) -> CodecConfig:
+    return CodecConfig(
+        mode=header.mode,
+        error_bound=header.error_bound,
+        truncate=header.truncate,
+        block_size=header.block_size,
+        nbins=header.nbins,
+    )
+
+
+def decompress(blob: bytes | memoryview) -> np.ndarray:
+    """Decompress a container (either format) back to a flat numpy array.
+
+    Equivalent to dctz_decompress (dctz-decomp-lib.c:51)."""
+    if ct.detect_format(blob) == "v2":
+        header, (bz, dz, az), qtable, _cb = ct.parse_v2(blob)
+        bindex = entropy.chunked_inflate(bz)
+        dc_raw = entropy.chunked_inflate(dz)
+        ac_raw = entropy.chunked_inflate(az)
+    else:
+        header, bz, dz, az, qtable = ct.parse_v1(blob)
+        bindex, dc_raw, ac_raw = entropy.inflate_streams([bz, dz, az])
+
+    n = header.num_elements
+    cfg = _header_config(header)
+    nblk = header.nblk
+    bs = header.block_size
+
+    # The reference always ships truncated (float32) DC/AC streams; detect
+    # non-truncated files by the DC stream size.
+    stored = np.dtype(np.float32)
+    if len(dc_raw) == nblk * header.dtype.itemsize and header.dtype != stored:
+        stored = header.dtype
+        cfg = dataclasses.replace(cfg, truncate=False)
+
+    flat_ids = np.frombuffer(bindex, dtype=np.uint8, count=n)
+    pad = nblk * bs - n
+    if pad:
+        flat_ids = np.concatenate(
+            [flat_ids, np.full((pad,), C.ESCAPE, np.uint8)]
+        )
+    dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+    ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+    if header.ac_count == 0:
+        ac = np.zeros((1,), stored)
+
+    out_dtype = header.dtype
+    if out_dtype == np.float64 and not jax.config.jax_enable_x64:
+        work_dtype = "float32"
+    else:
+        work_dtype = out_dtype.name
+
+    sf = jnp.asarray(header.scaling_factor, jnp.dtype(work_dtype))
+    qt = (
+        jnp.asarray(qtable).astype(jnp.dtype(work_dtype))
+        if qtable is not None
+        else None
+    )
+    x = _decode_device(
+        jnp.asarray(flat_ids.reshape(nblk, bs)),
+        jnp.asarray(dc),
+        jnp.asarray(ac),
+        n,
+        cfg,
+        work_dtype,
+        False,
+        sf,
+        qt,
+    )
+    return np.asarray(jax.device_get(x), dtype=out_dtype)

@@ -1,0 +1,88 @@
+"""Runtime configuration for the DCTZ-TPU codec.
+
+The reference selects modes at compile time (-DUSE_QTABLE / -DUSE_TRUNCATE,
+reference: Makefile:12-24) and bakes tunables into dctz.h. Here everything is
+one runtime dataclass: a single library covers all four reference binaries
+(dctz-ec-test / dctz-qt-test and their Z-Checker variants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+from .core import constants as C
+
+Mode = Literal["ec", "qt"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Full codec configuration.
+
+    Attributes:
+      mode: "ec" saves out-of-range AC coefficients verbatim (reference
+        dctz-comp-lib.c:534-541); "qt" renormalizes them through a per-position
+        quantizer table first (dctz-comp-lib.c:471-533).
+      error_bound: absolute error bound in the DCT domain of the scaled data.
+        Must be >= EB_MIN (dctz-comp-lib.c:135-138).
+      truncate: store DC and AC_exact streams as float32 even for float64 data
+        (reference USE_TRUNCATE, always on in shipped binaries: Makefile:13,17).
+      block_size / nbins / brsf / sf_adj: geometry constants; defaults match
+        the reference build (dctz.h:28-30,65-66).
+      zlib_level: deflate level for the entropy stage; the reference uses
+        Z_DEFAULT_COMPRESSION == 6 (dctz-comp-lib.c:643).
+      container: "v1" emits the reference-compatible single-segment container
+        (56-byte C struct header, dctz.h:96-119); "v2" emits the chunked
+        TPU-native container that supports parallel entropy coding and
+        sharded multi-host writes.
+      chunk_bytes: uncompressed chunk size for v2 parallel deflate.
+      internal_dtype: "auto" runs the transform in the input dtype (float64
+        needs jax x64 enabled); "float32" forces the fast single-precision
+        device path regardless of input dtype (bound semantics then include a
+        ~1e-6-relative transform error term, see docs/numerics.md).
+    """
+
+    mode: Mode = "ec"
+    error_bound: float = 1e-3
+    truncate: bool = True
+    block_size: int = C.BLK_SZ
+    nbins: int = C.NBINS
+    brsf: float = C.BRSF
+    sf_adj: int = C.SF_ADJ_AMT
+    zlib_level: int = 6
+    container: Literal["v1", "v2"] = "v1"
+    chunk_bytes: int = 1 << 22
+    internal_dtype: Literal["auto", "float32"] = "auto"
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("ec", "qt"):
+            raise ValueError(f"mode must be 'ec' or 'qt', got {self.mode!r}")
+        if self.error_bound < C.EB_MIN:
+            # Reference: "ERROR BOUND is not acceptable" (dctz-comp-lib.c:136).
+            raise ValueError(
+                f"error_bound {self.error_bound} below minimum {C.EB_MIN}"
+            )
+        if self.block_size < 2:
+            raise ValueError("block_size must be >= 2")
+        if not 1 <= self.nbins <= 255:
+            raise ValueError("nbins must fit an 8-bit index with one escape code")
+
+    @property
+    def qt_factor(self) -> float:
+        return C.qt_factor(self.nbins)
+
+    @property
+    def bin_width(self) -> float:
+        return self.error_bound * 2.0 * self.brsf
+
+    @property
+    def range_max(self) -> float:
+        # (2*(nbins//2)+1) * eb * brsf == nbins*eb for odd nbins
+        # (dctz-comp-lib.c:271-281; decoder uses eb*NBINS, dctz-decomp-lib.c:373).
+        half = self.nbins // 2
+        return (half * 2 + 1) * (self.error_bound * self.brsf)
+
+    @property
+    def range_min(self) -> float:
+        return -self.range_max

@@ -1,0 +1,301 @@
+"""Container formats.
+
+v1 — bit-compatible with the reference on-disk format (struct header at
+dctz.h:96-119, assembly at dctz-comp-lib.c:775-820, parsing at
+dctz-decomp-lib.c:84-100,186-199):
+
+    struct header (56 bytes, x86-64 layout, little-endian)
+      0  int32   datatype           (0 = FLOAT, 1 = DOUBLE)
+      4  uint32  num_elements
+      8  float64 error_bound
+      16 uint32  tot_AC_exact_count
+      20 ---     4 bytes padding
+      24 union   scaling_factor     (float64, or float32 in low 4 bytes)
+      32 union   mean               (stored, never used in reconstruction)
+      40 uint32  bindex_sz_compressed
+      44 uint32  DC_sz_compressed
+      48 uint32  AC_exact_sz_compressed
+      52 uint32  bindex_count       (QT builds) / tail padding (EC builds)
+    || deflate(bin_index u8[N]) || deflate(DC f32[nblk])
+    || deflate(AC_exact f32[count]) || raw qtable[block_size] (QT only)
+
+The reference's padding/union-garbage bytes are zeroed here (C leaves stack
+garbage); zlib streams use the same parameters (level 6, windowBits 15,
+memLevel 8 — dctz-comp-lib.c:642-643), so a reference binary can decompress
+our files and vice versa. EC and QT files are distinguished structurally
+(the reference relies on the file name): a QT file carries a trailing raw
+qtable, so total size disambiguates.
+
+v2 — TPU-native chunked container: every stream is split into fixed-size
+chunks deflated independently, so both directions parallelize across host
+cores and shards can be packed without reassembling a monolithic stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from . import constants as C
+
+_DT_FLOAT = 0
+_DT_DOUBLE = 1
+
+_V1_HEADER_FMT = "<iIdI4xdd III I"
+V1_HEADER_SIZE = struct.calcsize(_V1_HEADER_FMT)
+assert V1_HEADER_SIZE == 56
+
+V2_MAGIC = b"DTZ2"
+
+
+@dataclasses.dataclass
+class Header:
+    """Parsed container metadata (both formats)."""
+
+    dtype: np.dtype  # element dtype of the original array
+    num_elements: int
+    error_bound: float
+    ac_count: int
+    scaling_factor: float
+    mean: float
+    bindex_nbytes: int  # compressed
+    dc_nbytes: int  # compressed
+    ac_nbytes: int  # compressed
+    mode: str  # "ec" | "qt"
+    block_size: int = C.BLK_SZ
+    nbins: int = C.NBINS
+    truncate: bool = True
+
+    @property
+    def nblk(self) -> int:
+        return -(-self.num_elements // self.block_size)
+
+    @property
+    def stored_dtype(self) -> np.dtype:
+        """dtype of the DC / AC_exact streams (USE_TRUNCATE => float32)."""
+        return np.dtype(np.float32) if self.truncate else self.dtype
+
+
+def _union_bytes(value: float, dtype: np.dtype) -> bytes:
+    """8-byte union holding a double, or a float in the low 4 bytes."""
+    if dtype == np.float64:
+        return struct.pack("<d", float(value))
+    return struct.pack("<f4x", float(value))
+
+
+def _union_value(raw: bytes, dtype: np.dtype) -> float:
+    if dtype == np.float64:
+        return struct.unpack("<d", raw)[0]
+    return struct.unpack("<f4x", raw)[0]
+
+
+def pack_v1(
+    header: Header,
+    bindex_z: bytes,
+    dc_z: bytes,
+    ac_z: bytes,
+    qtable: np.ndarray | None,
+) -> bytes:
+    """Assemble the reference container (dctz-comp-lib.c:775-820)."""
+    dt_tag = _DT_DOUBLE if header.dtype == np.float64 else _DT_FLOAT
+    tail_field = header.num_elements if header.mode == "qt" else 0
+    hdr = struct.pack(
+        "<iIdI4x",
+        dt_tag,
+        header.num_elements,
+        header.error_bound,
+        header.ac_count,
+    )
+    hdr += _union_bytes(header.scaling_factor, header.dtype)
+    hdr += _union_bytes(header.mean, header.dtype)
+    hdr += struct.pack(
+        "<IIII", len(bindex_z), len(dc_z), len(ac_z), tail_field
+    )
+    assert len(hdr) == V1_HEADER_SIZE
+    parts = [hdr, bindex_z, dc_z, ac_z]
+    if header.mode == "qt":
+        if qtable is None:
+            raise ValueError("QT container requires a qtable")
+        parts.append(np.ascontiguousarray(qtable, dtype=header.dtype).tobytes())
+    return b"".join(parts)
+
+
+def parse_v1(blob: bytes | memoryview) -> tuple[Header, bytes, bytes, bytes, np.ndarray | None]:
+    """Split a v1 container into (header, bindex_z, dc_z, ac_z, qtable).
+
+    Mode is inferred structurally: QT files carry block_size raw qtable
+    entries after the third stream (the reference distinguishes by binary /
+    file suffix instead, dctz-test.c:99-103).
+    """
+    blob = memoryview(blob)
+    (dt_tag, n, eb, ac_count) = struct.unpack_from("<iIdI4x", blob, 0)
+    dtype = np.dtype(np.float64 if dt_tag == _DT_DOUBLE else np.float32)
+    sf = _union_value(bytes(blob[24:32]), dtype)
+    mean = _union_value(bytes(blob[32:40]), dtype)
+    b_sz, d_sz, a_sz, _tail = struct.unpack_from("<IIII", blob, 40)
+
+    body_end = V1_HEADER_SIZE + b_sz + d_sz + a_sz
+    qtable_bytes = C.BLK_SZ * dtype.itemsize
+    if len(blob) == body_end + qtable_bytes:
+        mode = "qt"
+    elif len(blob) >= body_end:
+        mode = "ec"
+    else:
+        raise ValueError(
+            f"truncated container: {len(blob)} bytes < {body_end} expected"
+        )
+
+    header = Header(
+        dtype=dtype,
+        num_elements=n,
+        error_bound=eb,
+        ac_count=ac_count,
+        scaling_factor=sf,
+        mean=mean,
+        bindex_nbytes=b_sz,
+        dc_nbytes=d_sz,
+        ac_nbytes=a_sz,
+        mode=mode,
+    )
+    off = V1_HEADER_SIZE
+    bindex_z = bytes(blob[off : off + b_sz])
+    off += b_sz
+    dc_z = bytes(blob[off : off + d_sz])
+    off += d_sz
+    ac_z = bytes(blob[off : off + a_sz])
+    off += a_sz
+    qtable = None
+    if mode == "qt":
+        qtable = np.frombuffer(
+            bytes(blob[off : off + qtable_bytes]), dtype=dtype
+        ).copy()
+    return header, bindex_z, dc_z, ac_z, qtable
+
+
+# ---------------------------------------------------------------------------
+# v2: chunked TPU-native container
+# ---------------------------------------------------------------------------
+
+_V2_FIXED_FMT = "<4sHHQdddQHHBxI"  # through chunk_bytes
+_V2_FIXED_SIZE = struct.calcsize(_V2_FIXED_FMT)
+
+_FLAG_QT = 1 << 0
+_FLAG_TRUNCATE = 1 << 1
+_FLAG_F64 = 1 << 2
+
+
+def pack_v2(
+    header: Header,
+    streams_z: tuple[list[bytes], list[bytes], list[bytes]],
+    qtable: np.ndarray | None,
+    chunk_bytes: int,
+) -> bytes:
+    """Assemble the chunked container: fixed header, per-stream chunk-count
+    + chunk-size tables, chunk payloads, optional raw qtable."""
+    flags = 0
+    if header.mode == "qt":
+        flags |= _FLAG_QT
+    if header.truncate:
+        flags |= _FLAG_TRUNCATE
+    if header.dtype == np.float64:
+        flags |= _FLAG_F64
+    fixed = struct.pack(
+        _V2_FIXED_FMT,
+        V2_MAGIC,
+        1,  # version
+        flags,
+        header.num_elements,
+        header.error_bound,
+        header.scaling_factor,
+        header.mean,
+        header.ac_count,
+        header.nbins,
+        header.block_size,
+        0,  # reserved
+        chunk_bytes,
+    )
+    parts = [fixed]
+    for chunks in streams_z:
+        parts.append(struct.pack("<I", len(chunks)))
+        parts.append(struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks]))
+    for chunks in streams_z:
+        parts.extend(chunks)
+    if header.mode == "qt":
+        if qtable is None:
+            raise ValueError("QT container requires a qtable")
+        parts.append(np.ascontiguousarray(qtable, dtype=header.dtype).tobytes())
+    return b"".join(parts)
+
+
+def parse_v2(
+    blob: bytes | memoryview,
+) -> tuple[Header, tuple[list[bytes], list[bytes], list[bytes]], np.ndarray | None, int]:
+    """Inverse of pack_v2; returns (header, stream chunks, qtable, chunk_bytes)."""
+    blob = memoryview(blob)
+    (
+        magic,
+        version,
+        flags,
+        n,
+        eb,
+        sf,
+        mean,
+        ac_count,
+        nbins,
+        block_size,
+        _res,
+        chunk_bytes,
+    ) = struct.unpack_from(_V2_FIXED_FMT, blob, 0)
+    if magic != V2_MAGIC:
+        raise ValueError("not a v2 container")
+    if version != 1:
+        raise ValueError(f"unsupported v2 container version {version}")
+    dtype = np.dtype(np.float64 if flags & _FLAG_F64 else np.float32)
+    mode = "qt" if flags & _FLAG_QT else "ec"
+
+    off = _V2_FIXED_SIZE
+    tables: list[list[int]] = []
+    for _ in range(3):
+        (count,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        sizes = list(struct.unpack_from(f"<{count}I", blob, off))
+        off += 4 * count
+        tables.append(sizes)
+    streams: list[list[bytes]] = []
+    for sizes in tables:
+        chunks = []
+        for sz in sizes:
+            chunks.append(bytes(blob[off : off + sz]))
+            off += sz
+        streams.append(chunks)
+    qtable = None
+    if mode == "qt":
+        qtable_bytes = block_size * dtype.itemsize
+        qtable = np.frombuffer(
+            bytes(blob[off : off + qtable_bytes]), dtype=dtype
+        ).copy()
+        off += qtable_bytes
+
+    header = Header(
+        dtype=dtype,
+        num_elements=n,
+        error_bound=eb,
+        ac_count=ac_count,
+        scaling_factor=sf,
+        mean=mean,
+        bindex_nbytes=sum(tables[0]),
+        dc_nbytes=sum(tables[1]),
+        ac_nbytes=sum(tables[2]),
+        mode=mode,
+        block_size=block_size,
+        nbins=nbins,
+        truncate=bool(flags & _FLAG_TRUNCATE),
+    )
+    return header, (streams[0], streams[1], streams[2]), qtable, chunk_bytes
+
+
+def detect_format(blob: bytes | memoryview) -> str:
+    """'v2' if the magic matches, else 'v1'."""
+    return "v2" if bytes(memoryview(blob)[:4]) == V2_MAGIC else "v1"

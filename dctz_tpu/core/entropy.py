@@ -1,0 +1,80 @@
+"""Host-side entropy stage: zlib deflate/inflate.
+
+Reference: three zlib streams (bin_index, DC, AC_exact) each deflated in its
+own pthread (compress_thread, dctz-comp-lib.c:75-88, creation :651-703) with
+deflateInit2(level=Z_DEFAULT_COMPRESSION(6), windowBits=15, memLevel=8)
+(dctz-comp-lib.c:642-643); decompression inflates the three streams
+sequentially (dctz-decomp-lib.c:244-322).
+
+CPython's zlib releases the GIL, so a thread pool reproduces (and generalizes)
+the reference's 3-way parallelism. For the v2 container each stream is split
+into fixed-size chunks deflated independently, which scales compression AND
+decompression across all host cores instead of 3/1 threads. When the native
+extension (cpp/) is built, its pthread-pool codec is used instead; the Python
+pool is the portable fallback — same byte streams either way.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+import zlib
+from typing import Sequence
+
+_MEM_LEVEL = 8  # DEF_MEM_LEVEL (dctz-comp-lib.c:25)
+_WBITS = 15  # windowBits (dctz-comp-lib.c:642)
+
+_POOL: concurrent.futures.ThreadPoolExecutor | None = None
+
+
+def _pool() -> concurrent.futures.ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(3, os.cpu_count() or 1),
+            thread_name_prefix="dctz-zlib",
+        )
+    return _POOL
+
+
+def deflate(data: bytes | memoryview, level: int = 6) -> bytes:
+    """One zlib stream with reference-identical parameters."""
+    co = zlib.compressobj(level, zlib.DEFLATED, _WBITS, _MEM_LEVEL)
+    return co.compress(bytes(data)) + co.flush()
+
+
+def inflate(data: bytes | memoryview, expected_size: int | None = None) -> bytes:
+    out = zlib.decompress(bytes(data), _WBITS, expected_size or 0)
+    return out
+
+
+def deflate_streams(
+    streams: Sequence[bytes | memoryview], level: int = 6
+) -> list[bytes]:
+    """Deflate several independent streams in parallel (C9 parity)."""
+    futs = [_pool().submit(deflate, s, level) for s in streams]
+    return [f.result() for f in futs]
+
+
+def inflate_streams(streams: Sequence[bytes | memoryview]) -> list[bytes]:
+    futs = [_pool().submit(inflate, s) for s in streams]
+    return [f.result() for f in futs]
+
+
+def chunked_deflate(
+    data: bytes | memoryview, chunk_bytes: int, level: int = 6
+) -> list[bytes]:
+    """Split into fixed-size chunks and deflate each independently (v2)."""
+    data = memoryview(data)
+    chunks = [
+        data[off : off + chunk_bytes] for off in range(0, len(data), chunk_bytes)
+    ]
+    if not chunks:
+        return []
+    return deflate_streams(chunks, level)
+
+
+def chunked_inflate(chunks: Sequence[bytes]) -> bytes:
+    if not chunks:
+        return b""
+    return b"".join(inflate_streams(chunks))

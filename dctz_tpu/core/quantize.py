@@ -1,0 +1,229 @@
+"""Adaptive quantization of DCT coefficients (EC and QT modes).
+
+Reference hot loops re-expressed as whole-array tensor algebra:
+  * pass 1 — bin assignment / escape detection (dctz-comp-lib.c:325-416)
+  * QT quantizer-table build (dctz-comp-lib.c:355-398,450-461)
+  * pass 2 — outlier handling: EC verbatim save (dctz-comp-lib.c:534-541),
+    QT renormalization (dctz-comp-lib.c:471-533)
+  * decode — dequantization + AC restore (dctz-decomp-lib.c:389-483)
+
+Everything is elementwise VPU work plus one cumsum for the variable-length
+AC_exact compaction; no data-dependent shapes appear on the device (the
+compacted stream lives in a fixed-capacity buffer, its true length is a
+scalar output).
+
+Faithful quirks preserved:
+  * DC positions are marked with the escape id in bin_index but never consume
+    an AC_exact slot (dctz-comp-lib.c:361 vs dctz-decomp-lib.c:392-396).
+  * DC and AC_exact streams are float32 even for float64 data (USE_TRUNCATE,
+    dctz-comp-lib.c:102-105,351,537).
+  * qtable[0] holds the DC coefficient of the LAST block (dctz-comp-lib.c:
+    355-360 overwrites it every iteration) and is excluded from the >=1.0
+    clamp (dctz-comp-lib.c:450-461).
+  * The reference's C-mixed-precision float path (float values combined with
+    the double error bound, e.g. dctz-comp-lib.c:515) is reproduced by doing
+    the QT renormalization in float64 when x64 is enabled.
+
+Deliberate deviation: a scaled coefficient exactly equal to +range_max maps
+to linear bin 255 in the reference and reads past conv_tbl (undefined
+behavior); we clamp to bin nbins-1, whose center is one bin width away —
+still within the error bound.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecConfig
+from . import constants as C
+from .binning import linear_to_zigzag, zigzag_to_center
+
+
+class Quantized(NamedTuple):
+    """Device-side result of quantizing one array's DCT coefficients."""
+
+    bin_ids: jax.Array  # (nblk, bs) uint8; padding & DC slots hold ESCAPE
+    dc: jax.Array  # (nblk,) float32 (truncate=True) or input dtype
+    ac_buf: jax.Array  # (capacity,) compacted escaped coefficients
+    ac_count: jax.Array  # scalar int32, true length of ac_buf
+    qtable: jax.Array | None  # (bs,) QT mode only
+
+
+def _work_dtype(dtype) -> jnp.dtype:
+    """float64 when available — mirrors C's double intermediates in the
+    float path (e.g. dctz-comp-lib.c:515: float op double -> double)."""
+    if jax.config.jax_enable_x64:
+        return jnp.float64
+    return jnp.dtype(dtype)
+
+
+def _geometry(cfg: CodecConfig, dtype):
+    """Static bin geometry constants in the arithmetic dtype.
+
+    Computed in double then rounded once, matching the C assignments at
+    dctz-comp-lib.c:271-281 / dctz-decomp-lib.c:372-381.
+    """
+    eb = float(cfg.error_bound)
+    half = cfg.nbins // 2
+    w_d = eb * 2.0 * cfg.brsf
+    rmax_d = (half * 2 + 1) * (eb * cfg.brsf)
+    return (
+        jnp.asarray(np.array(w_d, dtype)),
+        jnp.asarray(np.array(-rmax_d, dtype)),
+        jnp.asarray(np.array(rmax_d, dtype)),
+    )
+
+
+def _masks(nblk: int, bs: int, n: int):
+    """(valid, ac) masks over the padded (nblk, bs) coefficient grid.
+
+    valid: position maps to a real input element (tail block is partial).
+    ac: valid AND j >= 1 (j = 0 is the DC slot, dctz-comp-lib.c:361).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)
+    valid = row * bs + col < n
+    return valid, valid & (col >= 1)
+
+
+def _assign_bins(coeffs, rmin, rmax, w, nbins):
+    """Pass-1 bin assignment: (in_range, zigzag ids) (dctz-comp-lib.c:363-414)."""
+    in_range = (coeffs >= rmin) & (coeffs <= rmax)
+    lin = jnp.clip(
+        ((coeffs - rmin) / w).astype(jnp.int32), 0, nbins - 1
+    )
+    ids = linear_to_zigzag(lin, nbins)
+    return in_range, ids
+
+
+def _compact(flat_mask: jax.Array, flat_vals: jax.Array, capacity: int):
+    """Order-preserving compaction of masked values into a fixed buffer.
+
+    Returns (buf (capacity,), count). Uses cumsum + scatter-drop so shapes
+    stay static under jit; entries past `count` are zeros.
+    """
+    idx = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    pos = jnp.where(flat_mask, idx, capacity)  # out-of-range rows are dropped
+    buf = jnp.zeros((capacity,), flat_vals.dtype).at[pos].set(
+        flat_vals, mode="drop"
+    )
+    count = jnp.sum(flat_mask.astype(jnp.int32))
+    return buf, count
+
+
+def encode(
+    coeffs: jax.Array,
+    n: int,
+    cfg: CodecConfig,
+    ac_capacity: int | None = None,
+) -> Quantized:
+    """Quantize padded block coefficients (nblk, bs); n is the true element
+    count (static). Covers reference pass 1 + pass 2 for both modes."""
+    nblk, bs = coeffs.shape
+    dtype = coeffs.dtype
+    if ac_capacity is None:
+        ac_capacity = n
+    w, rmin, rmax = _geometry(cfg, np.dtype(dtype.name))
+    valid, ac_mask = _masks(nblk, bs, n)
+
+    in_range, ids = _assign_bins(coeffs, rmin, rmax, w, cfg.nbins)
+
+    stored_dtype = jnp.float32 if cfg.truncate else dtype
+    dc = coeffs[:, 0].astype(stored_dtype)
+
+    binned = ac_mask & in_range  # regular-bin AC coefficients
+    escape = ac_mask & ~in_range  # out-of-range AC coefficients
+    qtable = None
+
+    if cfg.mode == "qt":
+        # Per-position max |coef| over escaped entries (dctz-comp-lib.c:
+        # 355-398), clamped to >= 1.0 for j >= 1 (dctz-comp-lib.c:450-461).
+        col_max = jnp.max(
+            jnp.where(escape, jnp.abs(coeffs), jnp.zeros_like(coeffs)), axis=0
+        )
+        qtable = jnp.maximum(col_max, jnp.asarray(1.0, dtype))
+        # qtable[0] = DC of the last block (faithful reference quirk).
+        qtable = qtable.at[0].set(coeffs[-1, 0])
+
+        # Pass 2: renormalize outliers toward the bin range edge
+        # (dctz-comp-lib.c:484-533). C mixes float with the double error
+        # bound, so run in the widest available dtype and round once.
+        wd = _work_dtype(dtype)
+        side = jnp.where(coeffs > rmax, rmax, rmin).astype(wd)
+        qrow = qtable.astype(wd)[None, :]
+        norm = (
+            (coeffs.astype(wd) / qrow) * jnp.asarray(float(cfg.error_bound), wd)
+        ) * jnp.asarray(cfg.qt_factor, wd) + side
+        norm = norm.astype(dtype)  # C assigns back to the value's own type
+        coeffs = jnp.where(escape, norm, coeffs)
+
+        # Re-test: renormalized values that landed inside the range are
+        # re-binned (dctz-comp-lib.c:494-506,520-529). In practice they all
+        # stay outside (the normalized magnitude exceeds the range edge),
+        # but the check is faithful.
+        re_in, re_ids = _assign_bins(coeffs, rmin, rmax, w, cfg.nbins)
+        ids = jnp.where(escape & re_in, re_ids, ids)
+        binned = binned | (escape & re_in)
+        escape = escape & ~re_in
+
+    # bin_index stream: escape marks at DC slots and escaped ACs; padding
+    # positions also read ESCAPE for determinism (sliced off at flatten).
+    bin_ids = jnp.where(
+        binned, ids, jnp.asarray(C.ESCAPE, jnp.int32)
+    ).astype(jnp.uint8)
+
+    flat_vals = coeffs.astype(stored_dtype).reshape(-1)
+    ac_buf, ac_count = _compact(escape.reshape(-1), flat_vals, ac_capacity)
+    return Quantized(bin_ids, dc, ac_buf, ac_count, qtable)
+
+
+def decode(
+    bin_ids: jax.Array,
+    dc: jax.Array,
+    ac_buf: jax.Array,
+    qtable: jax.Array | None,
+    n: int,
+    cfg: CodecConfig,
+    dtype,
+) -> jax.Array:
+    """Rebuild padded (nblk, bs) coefficients (dctz-decomp-lib.c:389-483).
+
+    bin_ids: (nblk, bs) uint8 (padding slots must hold ESCAPE or anything —
+    they are masked); dc: (nblk,); ac_buf: compacted escaped stream.
+    """
+    nblk, bs = bin_ids.shape
+    w, rmin, rmax = _geometry(cfg, np.dtype(jnp.dtype(dtype).name))
+    _, ac_mask = _masks(nblk, bs, n)
+
+    ids = bin_ids.astype(jnp.int32)
+    escape = ac_mask & (ids == C.ESCAPE)
+
+    # Gather the escaped coefficients back from the compacted stream: the
+    # k-th escape (row-major order) reads ac_buf[k].
+    flat_escape = escape.reshape(-1)
+    ac_idx = jnp.cumsum(flat_escape.astype(jnp.int32)) - 1
+    ac_vals = ac_buf[jnp.clip(ac_idx, 0, ac_buf.shape[0] - 1)].reshape(nblk, bs)
+    ac_vals = ac_vals.astype(dtype)  # float32 -> working dtype (USE_TRUNCATE)
+
+    if cfg.mode == "qt" and qtable is not None:
+        # Invert the renormalization by the sign of the stored value
+        # (dctz-decomp-lib.c:401-413). C divides a float by the double
+        # eb*qt_factor, so use the widest dtype and round once.
+        wd = _work_dtype(dtype)
+        denom = jnp.asarray(float(cfg.error_bound), wd) * jnp.asarray(
+            cfg.qt_factor, wd
+        )
+        side = jnp.where(ac_vals > 0, rmax, rmin).astype(wd)
+        qrow = qtable.astype(wd)[None, :]
+        ac_vals = (
+            ((ac_vals.astype(wd) - side) / denom) * qrow
+        ).astype(dtype)
+
+    centers = zigzag_to_center(ids, w.astype(dtype))
+    coeffs = jnp.where(escape, ac_vals, centers)
+    coeffs = coeffs.at[:, 0].set(dc.astype(dtype))
+    return coeffs

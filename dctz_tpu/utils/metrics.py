@@ -1,0 +1,51 @@
+"""Quality metrics (C13 parity).
+
+Reference: calc_psnr (util.c:54-104) prints PSNR = 20*log10(range/RMSE) and
+the max relative error maxdiff/range. Here the same quantities come back as a
+structured dict (SURVEY.md §5 observability), plus the error-bound
+satisfaction check the reference left disabled (util.c:96-102).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def evaluate(
+    original: np.ndarray,
+    reconstructed: np.ndarray,
+    error_bound: float,
+    compressed_nbytes: int | None = None,
+) -> dict:
+    """Compression-quality report for one array."""
+    x = np.asarray(original).reshape(-1)
+    r = np.asarray(reconstructed).reshape(-1).astype(x.dtype)
+    diff = np.abs(x.astype(np.float64) - r.astype(np.float64))
+    maxdiff = float(diff.max()) if diff.size else 0.0
+    value_range = float(x.max() - x.min()) if x.size else 0.0
+    mse = float(np.mean(diff * diff)) if diff.size else 0.0
+    rmse = float(np.sqrt(mse))
+    psnr = (
+        float(20.0 * np.log10(value_range / rmse))
+        if rmse > 0 and value_range > 0
+        else float("inf")
+    )
+    max_rel_err = maxdiff / value_range if value_range > 0 else 0.0
+    out = {
+        "psnr_db": psnr,
+        "rmse": rmse,
+        "max_abs_err": maxdiff,
+        "max_rel_err": max_rel_err,
+        "bound_satisfied": bool(max_rel_err <= error_bound),
+        "error_bound": error_bound,
+        "num_elements": int(x.size),
+    }
+    if compressed_nbytes is not None:
+        out["compressed_bytes"] = int(compressed_nbytes)
+        out["ratio"] = float(x.size * x.dtype.itemsize) / max(compressed_nbytes, 1)
+    return out
+
+
+def psnr(original: np.ndarray, reconstructed: np.ndarray) -> float:
+    """PSNR in dB over the value range (util.c:90-93)."""
+    return evaluate(original, reconstructed, 0.0)["psnr_db"]

@@ -130,6 +130,10 @@ def parse_v1(blob: bytes | memoryview) -> tuple[Header, bytes, bytes, bytes, np.
     file suffix instead, dctz-test.c:99-103).
     """
     blob = memoryview(blob)
+    if len(blob) < V1_HEADER_SIZE:
+        raise ValueError(
+            f"truncated container: {len(blob)} bytes < {V1_HEADER_SIZE} header"
+        )
     (dt_tag, n, eb, ac_count) = struct.unpack_from("<iIdI4x", blob, 0)
     dtype = np.dtype(np.float64 if dt_tag == _DT_DOUBLE else np.float32)
     sf = _union_value(bytes(blob[24:32]), dtype)

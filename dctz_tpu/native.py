@@ -1,0 +1,124 @@
+"""ctypes bindings for the native C++ reference codec (cpp/dctz_ref.cpp).
+
+The native codec is the CPU oracle and baseline: it reproduces the reference
+implementation's semantics (and container bytes) without FFTW. The library
+is built on demand with `make -C cpp`; all entry points degrade gracefully
+(`available()` -> False) when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_CPP_DIR = pathlib.Path(__file__).resolve().parent.parent / "cpp"
+_LIB_PATH = _CPP_DIR / "libdctzref.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB_PATH.exists():
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_CPP_DIR), "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (subprocess.SubprocessError, FileNotFoundError):
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.dctz_ref_compress.restype = ctypes.c_size_t
+        lib.dctz_ref_compress.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+            ctypes.c_double,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.dctz_ref_decompress.restype = ctypes.c_int
+        lib.dctz_ref_decompress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_uint32,
+        ]
+        lib.dctz_ref_peek.restype = ctypes.c_int
+        lib.dctz_ref_peek.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def compress(x: np.ndarray, error_bound: float, mode: str = "ec") -> bytes:
+    """Native reference compression -> v1 container bytes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable (build failed?)")
+    x = np.ascontiguousarray(x).reshape(-1)
+    if x.dtype == np.float64:
+        dt = 1
+    elif x.dtype == np.float32:
+        dt = 0
+    else:
+        raise TypeError(f"unsupported dtype {x.dtype}")
+    cap = 56 + 2 * x.nbytes + 4 * x.size + 4096
+    out = np.empty(cap, np.uint8)
+    size = lib.dctz_ref_compress(
+        dt,
+        1 if mode == "qt" else 0,
+        x.ctypes.data,
+        x.size,
+        float(error_bound),
+        out.ctypes.data,
+        cap,
+    )
+    if size == 0:
+        raise RuntimeError("native compression failed")
+    return out[:size].tobytes()
+
+
+def decompress(blob: bytes) -> np.ndarray:
+    """Native reference decompression of a v1 container."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native codec unavailable (build failed?)")
+    raw = np.frombuffer(blob, np.uint8)
+    n = ctypes.c_uint32()
+    eb = ctypes.c_double()
+    dt = ctypes.c_int()
+    if lib.dctz_ref_peek(raw.ctypes.data, raw.size, n, eb, dt) != 0:
+        raise ValueError("bad container")
+    dtype = np.float64 if dt.value == 1 else np.float32
+    out = np.empty(n.value, dtype)
+    rc = lib.dctz_ref_decompress(
+        raw.ctypes.data, raw.size, dt.value, out.ctypes.data, n.value
+    )
+    if rc < 0:
+        raise ValueError(f"native decompression failed: {rc}")
+    return out

@@ -191,8 +191,11 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
 
     n = header.num_elements
     cfg = _header_config(header)
-    nblk = header.nblk
     bs = header.block_size
+    # Sharded v2 containers are zero-padded to the mesh quantum; the padded
+    # length is simply the bin_index stream length (v1: exactly n).
+    n_stream = len(bindex)
+    nblk = -(-n_stream // bs)
 
     # The reference always ships truncated (float32) DC/AC streams; detect
     # non-truncated files by the DC stream size.
@@ -201,8 +204,8 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         stored = header.dtype
         cfg = dataclasses.replace(cfg, truncate=False)
 
-    flat_ids = np.frombuffer(bindex, dtype=np.uint8, count=n)
-    pad = nblk * bs - n
+    flat_ids = np.frombuffer(bindex, dtype=np.uint8, count=n_stream)
+    pad = nblk * bs - n_stream
     if pad:
         flat_ids = np.concatenate(
             [flat_ids, np.full((pad,), C.ESCAPE, np.uint8)]
@@ -228,11 +231,155 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         jnp.asarray(flat_ids.reshape(nblk, bs)),
         jnp.asarray(dc),
         jnp.asarray(ac),
-        n,
+        n_stream,
         cfg,
         work_dtype,
         False,
         sf,
         qt,
     )
-    return np.asarray(jax.device_get(x), dtype=out_dtype)
+    return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) paths
+# ---------------------------------------------------------------------------
+
+
+def compress_sharded(
+    x: Any,
+    error_bound: float = 1e-3,
+    mode: str = "ec",
+    *,
+    config: CodecConfig | None = None,
+    mesh=None,
+) -> bytes:
+    """Compress an array sharded over a TPU mesh; emits a v2 container.
+
+    Per-shard work is fully local (blocks never cross shards); only the
+    scaling factor / mean / QT-qtable reductions cross ICI. The output is
+    byte-compatible with the single-chip v2 path up to zero-padding of the
+    streams (decompress() handles both transparently).
+    """
+    from .parallel import sharding as sh
+
+    cfg = config or CodecConfig(mode=mode, error_bound=error_bound, container="v2")
+    if cfg.container != "v2":
+        cfg = dataclasses.replace(cfg, container="v2")
+    src_dtype = np.dtype(getattr(x, "dtype", np.float64))
+    arr = np.asarray(jax.device_get(x)).reshape(-1)
+    if cfg.internal_dtype == "float32" or (
+        arr.dtype == np.float64 and not jax.config.jax_enable_x64
+    ):
+        arr = arr.astype(np.float32)
+    n = int(arr.shape[0])
+    if n == 0:
+        raise ValueError("cannot compress an empty array")
+
+    mesh = mesh or sh.make_mesh()
+    x_sharded, n_pad = sh.shard_input(arr, mesh, cfg.block_size)
+    n_dev = mesh.devices.size
+    cap = n_pad // n_dev
+    bin_ids, dc, ac_bufs, ac_counts, sf, mean, qtable = jax.device_get(
+        sh.encode_sharded(
+            x_sharded, n_real=n, cfg=cfg, ac_capacity=cap, mesh=mesh
+        )
+    )
+    counts = [int(c) for c in ac_counts]
+    ac = np.concatenate(
+        [ac_bufs[d, : counts[d]] for d in range(n_dev)]
+    ) if sum(counts) else np.zeros((0,), ac_bufs.dtype)
+
+    header = ct.Header(
+        dtype=src_dtype,
+        num_elements=n,
+        error_bound=cfg.error_bound,
+        ac_count=int(sum(counts)),
+        scaling_factor=float(sf),
+        mean=float(mean),
+        bindex_nbytes=0,
+        dc_nbytes=0,
+        ac_nbytes=0,
+        mode=cfg.mode,
+        block_size=cfg.block_size,
+        nbins=cfg.nbins,
+        truncate=cfg.truncate,
+    )
+    streams = (
+        entropy.chunked_deflate(
+            bin_ids.reshape(-1).tobytes(), cfg.chunk_bytes, cfg.zlib_level
+        ),
+        entropy.chunked_deflate(dc.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(ac.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+    )
+    return ct.pack_v2(
+        header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes
+    )
+
+
+def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
+    """Decompress with the device stage sharded over a mesh.
+
+    The host inflates the streams, splits the AC stream by per-shard escape
+    counts (recomputed from bin_index alone), and runs the local
+    dequantize+IDCT pipeline on every shard."""
+    from .parallel import sharding as sh
+
+    header, (bz, dz, az), qtable, _cb = ct.parse_v2(blob)
+    bindex = entropy.chunked_inflate(bz)
+    dc_raw = entropy.chunked_inflate(dz)
+    ac_raw = entropy.chunked_inflate(az)
+
+    n = header.num_elements
+    cfg = _header_config(header)
+    bs = header.block_size
+    mesh = mesh or sh.make_mesh()
+    n_dev = mesh.devices.size
+
+    ids = np.frombuffer(bindex, np.uint8)
+    n_pad = sh.padded_size(len(ids), n_dev, bs)
+    if n_pad != len(ids):
+        # Pad with bin id 0 (center bin => coefficient 0): the padding
+        # decodes to zero blocks, consumes no AC entries, and is sliced off.
+        ids = np.concatenate([ids, np.zeros(n_pad - len(ids), np.uint8)])
+    nblk = n_pad // bs
+    ids2d = ids.reshape(nblk, bs)
+
+    stored = np.dtype(np.float32) if header.truncate else header.dtype
+    dc = np.zeros(nblk, stored)
+    dc[: len(dc_raw) // stored.itemsize] = np.frombuffer(dc_raw, stored)
+    ac = np.frombuffer(ac_raw, stored, count=header.ac_count)
+
+    # Per-shard AC segment split: escapes per shard = (#ESCAPE marks) minus
+    # the one DC mark per block.
+    rows_per = nblk // n_dev
+    esc = (ids2d == C.ESCAPE).reshape(n_dev, rows_per * bs).sum(axis=1)
+    esc -= rows_per
+    offsets = np.concatenate([[0], np.cumsum(esc)])
+    cap = max(1, int(esc.max()))
+    ac_shards = np.zeros((n_dev, cap), stored)
+    for d in range(n_dev):
+        seg = ac[offsets[d] : offsets[d + 1]]
+        ac_shards[d, : len(seg)] = seg
+
+    out_dtype = header.dtype
+    work = (
+        "float32"
+        if (out_dtype == np.float64 and not jax.config.jax_enable_x64)
+        else out_dtype.name
+    )
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS))
+    x = sh.decode_sharded(
+        jax.device_put(ids2d, spec),
+        jax.device_put(dc, spec),
+        jax.device_put(ac_shards, spec),
+        jnp.asarray(header.scaling_factor, jnp.dtype(work)),
+        jnp.asarray(
+            qtable if qtable is not None else np.zeros(bs, work)
+        ).astype(jnp.dtype(work)),
+        n_pad=n_pad,
+        cfg=cfg,
+        dtype=work,
+        mesh=mesh,
+    )
+    return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]

@@ -120,9 +120,15 @@ def encode(
     n: int,
     cfg: CodecConfig,
     ac_capacity: int | None = None,
+    axis_name: str | None = None,
 ) -> Quantized:
     """Quantize padded block coefficients (nblk, bs); n is the true element
-    count (static). Covers reference pass 1 + pass 2 for both modes."""
+    count (static). Covers reference pass 1 + pass 2 for both modes.
+
+    axis_name: when running inside shard_map, the mesh axis to all-reduce the
+    QT quantizer table over — the table must see pass-1 maxima from ALL
+    shards before pass 2 (a ~512-byte `lax.pmax` riding ICI; the only
+    cross-chip communication besides the scaling factor)."""
     nblk, bs = coeffs.shape
     dtype = coeffs.dtype
     if ac_capacity is None:
@@ -145,9 +151,14 @@ def encode(
         col_max = jnp.max(
             jnp.where(escape, jnp.abs(coeffs), jnp.zeros_like(coeffs)), axis=0
         )
+        # qtable[0] = DC of the last block (faithful reference quirk);
+        # sharded runs take the pmax over shards' last-block DCs instead
+        # (decoder never reads slot 0, dctz-decomp-lib.c:396-413).
+        col_max = col_max.at[0].set(coeffs[-1, 0])
+        if axis_name is not None:
+            col_max = jax.lax.pmax(col_max, axis_name)
         qtable = jnp.maximum(col_max, jnp.asarray(1.0, dtype))
-        # qtable[0] = DC of the last block (faithful reference quirk).
-        qtable = qtable.at[0].set(coeffs[-1, 0])
+        qtable = qtable.at[0].set(col_max[0])
 
         # Pass 2: renormalize outliers toward the bin range edge
         # (dctz-comp-lib.c:484-533). C mixes float with the double error

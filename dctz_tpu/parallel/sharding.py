@@ -1,0 +1,154 @@
+"""Multi-chip scaling: `shard_map` pipeline over a 1-D device mesh.
+
+The reference has NO distributed capability (its only concurrency is three
+deflate pthreads, dctz-comp-lib.c:620-732); pod-scale compression is the new
+capability this rebuild adds (SURVEY.md §2 "parallelism strategies",
+BASELINE.json north-star).
+
+Design (scaling-book style: pick a mesh, annotate shardings, let XLA insert
+collectives):
+
+  * 1-D mesh axis "data": the flat array is block-sharded in multiples of
+    BLK_SZ, so DCT blocks NEVER cross shard boundaries — the per-shard
+    pipeline (scale -> DCT matmul -> quantize -> compact) is entirely local.
+  * Two tiny collectives ride ICI:
+      - `lax.pmax` of the local max|x| (8 bytes) -> global scaling factor;
+      - QT mode only: `lax.pmax` of the 64-entry quantizer table (512 B),
+        which must see pass-1 maxima from all shards before pass 2.
+    The mean needs a `lax.psum` (8 bytes) for the container header.
+  * Everything else stays shard-local; compressed segments gather to hosts
+    (device->host DMA, DCN at pod scale) where the entropy stage runs.
+  * TP/PP/EP analogs: N/A for this workload — there is no model to partition;
+    "sequence parallelism" maps to this array-length sharding (SURVEY.md §5).
+
+The input is zero-padded to a multiple of n_devices * BLK_SZ: zero blocks
+produce DC=0 and all-center bin ids, which deflate to almost nothing, and
+zeros never perturb max|x| or escape counts. The container records the true
+element count; the decoder derives the padded length from the bin_index
+stream itself.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CodecConfig
+from ..core import quantize as qz
+from ..core import transform
+from ..core.stats import scaling_factor
+
+AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def padded_size(n: int, n_devices: int, block_size: int) -> int:
+    quantum = n_devices * block_size
+    return -(-n // quantum) * quantum
+
+
+def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name):
+    """Per-shard pipeline body (runs inside shard_map)."""
+    amax = jax.lax.pmax(jnp.max(jnp.abs(x_local)), axis_name)
+    total = jax.lax.psum(jnp.sum(x_local, dtype=x_local.dtype), axis_name)
+    mean = total / jnp.asarray(n_real, x_local.dtype)
+    sf = scaling_factor(amax, cfg.sf_adj)
+
+    xs = x_local / sf
+    n_local = xs.shape[0]  # multiple of block_size by construction
+    coeffs = transform.block_dct(xs.reshape(-1, cfg.block_size))
+    q = qz.encode(coeffs, n_local, cfg, ac_capacity, axis_name=axis_name)
+    return q, sf, mean
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_real", "cfg", "ac_capacity", "mesh")
+)
+def encode_sharded(x_padded, *, n_real: int, cfg: CodecConfig, ac_capacity: int, mesh: Mesh):
+    """Sharded compression device program.
+
+    x_padded: (n_pad,) zero-padded to a multiple of n_devices * block_size,
+    sharded (or shardable) over the mesh. Returns globally-assembled views:
+    bin_ids (n_pad/bs, bs), dc (n_pad/bs,), per-shard AC buffers
+    (n_dev, ac_capacity) with counts (n_dev,), plus replicated sf / mean /
+    qtable.
+    """
+    qt = cfg.mode == "qt"
+
+    def body(x_local):
+        q, sf, mean = _local_encode(x_local, n_real, cfg, ac_capacity, AXIS)
+        qtable = q.qtable if qt else jnp.zeros((cfg.block_size,), x_local.dtype)
+        return (
+            q.bin_ids,
+            q.dc,
+            q.ac_buf[None, :],
+            q.ac_count[None],
+            sf,
+            mean,
+            qtable,
+        )
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(AXIS),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+    )(x_padded)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pad", "cfg", "dtype", "mesh")
+)
+def decode_sharded(
+    bin_ids, dc, ac_shards, sf, qtable, *, n_pad: int, cfg: CodecConfig, dtype: str, mesh: Mesh
+):
+    """Sharded decompression device program.
+
+    bin_ids: (n_pad/bs, bs) sharded over rows; ac_shards: (n_dev, cap) —
+    each shard's slice of the AC stream, pre-split on host (the per-shard
+    escape counts are recomputable from bin_ids alone). Returns the flat
+    reconstructed padded array, sharded over the mesh.
+    """
+
+    def body(ids_local, dc_local, ac_local, sf_rep, qtable_rep):
+        n_local = ids_local.shape[0] * ids_local.shape[1]
+        coeffs = qz.decode(
+            ids_local,
+            dc_local,
+            ac_local[0],
+            qtable_rep if cfg.mode == "qt" else None,
+            n_local,
+            cfg,
+            jnp.dtype(dtype),
+        )
+        x = transform.block_idct(coeffs).reshape(-1)
+        return x * sf_rep.astype(x.dtype)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=P(AXIS),
+    )(bin_ids, dc, ac_shards, sf, qtable)
+
+
+def shard_input(x: np.ndarray, mesh: Mesh, block_size: int):
+    """Zero-pad and device_put a host array sharded over the mesh."""
+    n = x.shape[0]
+    n_dev = mesh.devices.size
+    n_pad = padded_size(n, n_dev, block_size)
+    if n_pad != n:
+        x = np.concatenate([x, np.zeros(n_pad - n, x.dtype)])
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.device_put(x, sharding), n_pad

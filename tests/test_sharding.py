@@ -1,0 +1,95 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed capability; these validate the new scaling
+layer: shard-local pipelines, the sf/qtable pmax collectives, and stream
+equivalence with the single-chip path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import dctz_tpu
+from dctz_tpu.api import compress_sharded, decompress_sharded
+from dctz_tpu.config import CodecConfig
+from dctz_tpu.parallel import sharding as sh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return sh.make_mesh(jax.devices()[:8])
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_sharded_roundtrip_bound(mesh, mode, dtype):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(64 * 8 * 37 + 11) * 55).astype(dtype)
+    blob = compress_sharded(x, 1e-3, mode, mesh=mesh)
+    y = dctz_tpu.decompress(blob)  # single-chip decode of sharded container
+    m = dctz_tpu.evaluate(x, y, 1e-3, len(blob))
+    assert m["bound_satisfied"], m
+    y2 = decompress_sharded(blob, mesh=mesh)  # sharded decode
+    np.testing.assert_array_equal(y, y2)
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_sharded_streams_match_single_chip(mesh, mode):
+    """With no padding needed, the sharded container must be byte-identical
+    to the single-chip v2 container: same ids, DC, AC order, sf, qtable
+    (modulo the decoder-ignored qtable[0] slot)."""
+    rng = np.random.default_rng(1)
+    n = 64 * 8 * 25  # already a mesh multiple
+    x = rng.standard_normal(n) * 55
+    cfg = CodecConfig(mode=mode, error_bound=1e-3, container="v2")
+    single = dctz_tpu.compress(x, config=cfg)
+    sharded = compress_sharded(x, config=cfg, mesh=mesh)
+
+    def strip_mean(b):  # mean (v2 header bytes 32-40) differs by reduction
+        return b[:32] + b"\0" * 8 + b[40:]  # order; unused in reconstruction
+
+    if mode == "ec":
+        assert strip_mean(single) == strip_mean(sharded)
+    else:
+        from dctz_tpu.core import container as ct
+
+        h1, s1, q1, _ = ct.parse_v2(single)
+        h2, s2, q2, _ = ct.parse_v2(sharded)
+        assert s1 == s2
+        np.testing.assert_array_equal(q1[1:], q2[1:])  # slot 0 differs by design
+
+
+def test_sharded_handles_pad(mesh):
+    """Array length not a multiple of the mesh quantum: zero-padded, true
+    length restored on decode."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(12345)
+    blob = compress_sharded(x, 1e-4, "ec", mesh=mesh)
+    y = dctz_tpu.decompress(blob)
+    assert y.shape == x.shape
+    assert dctz_tpu.evaluate(x, y, 1e-4)["bound_satisfied"]
+
+
+def test_sharded_collectives_only_for_sf_and_qtable(mesh):
+    """Structural check: the compiled sharded EC program contains no
+    all-to-all/gather collectives — only the tiny max/sum reductions."""
+    cfg = CodecConfig(mode="ec", error_bound=1e-3, container="v2")
+    n_pad = 64 * 8 * 4
+    x = jax.device_put(
+        np.ones(n_pad, np.float32),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS)),
+    )
+    lowered = sh.encode_sharded.lower(
+        x, n_real=n_pad, cfg=cfg, ac_capacity=n_pad // 8, mesh=mesh
+    )
+    hlo = lowered.compile().as_text()
+    assert "all-to-all" not in hlo
+    # all-reduce appears only for the scalar stats reductions
+    assert hlo.count("all-gather") == 0
+
+
+def test_mesh_padding_math():
+    assert sh.padded_size(1, 8, 64) == 512
+    assert sh.padded_size(512, 8, 64) == 512
+    assert sh.padded_size(513, 8, 64) == 1024

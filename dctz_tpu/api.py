@@ -36,6 +36,11 @@ from .core import transform
 from .core.stats import calc_data_stat
 
 
+def _padded(n: int, cfg: CodecConfig) -> int:
+    """Total padded element count (whole blocks)."""
+    return -(-n // cfg.block_size) * cfg.block_size
+
+
 def _pad_coeffs(main_c: jax.Array, tail_c: jax.Array, block_size: int) -> jax.Array:
     """Stack main blocks and the (padded) remainder block into (nblk, bs)."""
     if tail_c.shape[0] == 0:
@@ -46,7 +51,9 @@ def _pad_coeffs(main_c: jax.Array, tail_c: jax.Array, block_size: int) -> jax.Ar
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _encode_device(x: jax.Array, n: int, cfg: CodecConfig, ac_capacity: int):
+def _encode_device(
+    x: jax.Array, n: int, cfg: CodecConfig, ac_capacity: int | None
+):
     """Full device-side compression pipeline (scale+DCT+quantize+compact)."""
     stats = calc_data_stat(x, cfg.sf_adj)
     xs = x / stats.sf  # reference divides in place (dctz-comp-lib.c:198)
@@ -56,7 +63,24 @@ def _encode_device(x: jax.Array, n: int, cfg: CodecConfig, ac_capacity: int):
     return q, stats
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _assemble_ac(q: qz.Quantized) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-side AC stream assembly for either layout.
+
+    Returns (ac_stream, bin_ids, total_count)."""
+    if q.overflowed is None:  # global layout
+        bin_ids, ac_buf, ac_count = jax.device_get(
+            (q.bin_ids, q.ac_buf, q.ac_count)
+        )
+        return ac_buf[: int(ac_count)], bin_ids, int(ac_count)
+    bin_ids, ac_chunks, counts = jax.device_get(
+        (q.bin_ids, q.ac_buf, q.ac_count)
+    )
+    capc = ac_chunks.shape[1]
+    sel = np.arange(capc)[None, :] < counts[:, None]
+    return ac_chunks[sel], bin_ids, int(counts.sum())
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _decode_device(
     bin_ids: jax.Array,
     dc: jax.Array,
@@ -64,13 +88,16 @@ def _decode_device(
     n: int,
     cfg: CodecConfig,
     dtype: str,
+    ac_layout: str,
     sf_weak_type: bool,
     sf: jax.Array,
     qtable: jax.Array | None,
 ):
     """Full device-side decompression pipeline (dequantize+IDCT+unscale)."""
     del sf_weak_type  # part of the cache key only
-    coeffs = qz.decode(bin_ids, dc, ac_buf, qtable, n, cfg, jnp.dtype(dtype))
+    coeffs = qz.decode(
+        bin_ids, dc, ac_buf, qtable, n, cfg, jnp.dtype(dtype), ac_layout
+    )
     n_full = n // cfg.block_size
     rem = n % cfg.block_size
     main_c = coeffs[:n_full]
@@ -120,13 +147,13 @@ def compress(
     if n == 0:
         raise ValueError("cannot compress an empty array")
 
-    q, stats = _encode_device(arr, n, cfg, n)
-    # One host sync: pull the streams (the scalars ride along).
-    bin_ids, dc, ac_buf, ac_count, sf, mean = jax.device_get(
-        (q.bin_ids, q.dc, q.ac_buf, q.ac_count, stats.sf, stats.mean)
-    )
-    ac_count = int(ac_count)
-    ac = ac_buf[:ac_count]
+    q, stats = _encode_device(arr, n, cfg, None)
+    if q.overflowed is not None and bool(jax.device_get(q.overflowed)):
+        # Rare: some chunk exceeded the default per-chunk AC capacity; the
+        # full-capacity variant is always lossless.
+        q, stats = _encode_device(arr, n, cfg, qz.chunk_width(_padded(n, cfg), cfg.block_size))
+    ac, bin_ids, ac_count = _assemble_ac(q)
+    dc, sf, mean = jax.device_get((q.dc, stats.sf, stats.mean))
     qtable = jax.device_get(q.qtable) if q.qtable is not None else None
 
     # The header always records the ORIGINAL dtype: with internal_dtype=
@@ -212,7 +239,26 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         )
     dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
     ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
-    if header.ac_count == 0:
+
+    from .ops import compaction as cp
+
+    ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
+    if ac_layout == "chunked":
+        # Gather-free TPU decode: pre-split the AC stream into per-chunk
+        # padded rows on the host (counts are derivable from bin_index).
+        cw = qz.chunk_width(nblk * bs, bs)
+        ids2 = flat_ids.reshape(nblk, bs)
+        valid = (np.arange(nblk * bs) < n_stream).reshape(nblk, bs)
+        esc = (ids2 == C.ESCAPE) & valid
+        esc[:, 0] = False
+        counts = esc.reshape(-1, cw).sum(axis=1)
+        peak = int(counts.max()) if counts.size else 0
+        tiers = [t for t in (32, 128) if t < cw] + [cw]
+        capc = next(t for t in tiers if t >= min(peak, cw))
+        ac_padded = np.zeros((counts.size, capc), stored)
+        ac_padded[np.arange(capc)[None, :] < counts[:, None]] = ac
+        ac = ac_padded
+    elif header.ac_count == 0:
         ac = np.zeros((1,), stored)
 
     out_dtype = header.dtype
@@ -234,6 +280,7 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         n_stream,
         cfg,
         work_dtype,
+        ac_layout,
         False,
         sf,
         qt,
@@ -276,25 +323,47 @@ def compress_sharded(
     if n == 0:
         raise ValueError("cannot compress an empty array")
 
+    from .ops import compaction as cp
+
     mesh = mesh or sh.make_mesh()
     x_sharded, n_pad = sh.shard_input(arr, mesh, cfg.block_size)
     n_dev = mesh.devices.size
-    cap = n_pad // n_dev
-    bin_ids, dc, ac_bufs, ac_counts, sf, mean, qtable = jax.device_get(
-        sh.encode_sharded(
-            x_sharded, n_real=n, cfg=cfg, ac_capacity=cap, mesh=mesh
+    layout = "chunked" if cp.use_chunked_compaction() else "global"
+
+    def run(ac_capacity):
+        return sh.encode_sharded(
+            x_sharded,
+            n_real=n,
+            cfg=cfg,
+            ac_capacity=ac_capacity,
+            mesh=mesh,
+            compaction=layout,
         )
-    )
-    counts = [int(c) for c in ac_counts]
-    ac = np.concatenate(
-        [ac_bufs[d, : counts[d]] for d in range(n_dev)]
-    ) if sum(counts) else np.zeros((0,), ac_bufs.dtype)
+
+    out = run(n_pad // n_dev if layout == "global" else None)
+    if layout == "chunked" and int(jax.device_get(out[4])) != 0:
+        out = run(qz.chunk_width(n_pad // n_dev, cfg.block_size))
+    bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable = jax.device_get(out)
+
+    if layout == "chunked":
+        capc = ac_bufs.shape[1]
+        sel = np.arange(capc)[None, :] < ac_counts[:, None]
+        ac = ac_bufs[sel]
+        counts_total = int(ac_counts.sum())
+    else:
+        counts = [int(c) for c in ac_counts]
+        ac = (
+            np.concatenate([ac_bufs[d, : counts[d]] for d in range(n_dev)])
+            if sum(counts)
+            else np.zeros((0,), ac_bufs.dtype)
+        )
+        counts_total = sum(counts)
 
     header = ct.Header(
         dtype=src_dtype,
         num_elements=n,
         error_bound=cfg.error_bound,
-        ac_count=int(sum(counts)),
+        ac_count=counts_total,
         scaling_factor=float(sf),
         mean=float(mean),
         bindex_nbytes=0,
@@ -350,17 +419,32 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
     dc[: len(dc_raw) // stored.itemsize] = np.frombuffer(dc_raw, stored)
     ac = np.frombuffer(ac_raw, stored, count=header.ac_count)
 
-    # Per-shard AC segment split: escapes per shard = (#ESCAPE marks) minus
-    # the one DC mark per block.
-    rows_per = nblk // n_dev
-    esc = (ids2d == C.ESCAPE).reshape(n_dev, rows_per * bs).sum(axis=1)
-    esc -= rows_per
-    offsets = np.concatenate([[0], np.cumsum(esc)])
-    cap = max(1, int(esc.max()))
-    ac_shards = np.zeros((n_dev, cap), stored)
-    for d in range(n_dev):
-        seg = ac[offsets[d] : offsets[d + 1]]
-        ac_shards[d, : len(seg)] = seg
+    from .ops import compaction as cp
+
+    ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
+    esc2d = ids2d == C.ESCAPE
+    esc2d[:, 0] = False
+    if ac_layout == "chunked":
+        # Per-chunk padded rows (gather-free decode); cw chosen so chunks
+        # divide evenly into shards.
+        cw = qz.chunk_width(n_pad // n_dev, bs)
+        counts = esc2d.reshape(-1, cw).sum(axis=1)
+        peak = int(counts.max()) if counts.size else 0
+        tiers = [t for t in (32, 128) if t < cw] + [cw]
+        capc = next(t for t in tiers if t >= min(peak, cw))
+        ac_shards = np.zeros((counts.size, capc), stored)
+        ac_shards[np.arange(capc)[None, :] < counts[:, None]] = ac
+    else:
+        # Per-shard AC segments: escapes per shard = (#ESCAPE marks) minus
+        # the one DC mark per block.
+        rows_per = nblk // n_dev
+        esc = esc2d.reshape(n_dev, rows_per * bs).sum(axis=1)
+        offsets = np.concatenate([[0], np.cumsum(esc)])
+        cap = max(1, int(esc.max()))
+        ac_shards = np.zeros((n_dev, cap), stored)
+        for d in range(n_dev):
+            seg = ac[offsets[d] : offsets[d + 1]]
+            ac_shards[d, : len(seg)] = seg
 
     out_dtype = header.dtype
     work = (
@@ -381,5 +465,6 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
         cfg=cfg,
         dtype=work,
         mesh=mesh,
+        ac_layout=ac_layout,
     )
     return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]

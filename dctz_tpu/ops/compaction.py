@@ -1,0 +1,99 @@
+"""TPU-friendly variable-length stream compaction.
+
+The generic encoder compacts escaped coefficients with cumsum + scatter
+(core/quantize.py). XLA:TPU executes 1-D scatters ~serially (~8 ns/update:
+measured 515 ms for a 64Mi-element scatter on v5e, vs 7.6 ms for the whole
+rest of the encode pipeline), and big gathers (take_along_axis/searchsorted)
+are equally pathological. The TPU-native formulation keeps ALL data movement
+chunk-local and static:
+
+  encode: per chunk of `cw` elements, move escaped values to the front in
+    order via one batched `lax.sort` along the minor axis (a vectorized
+    sorting network: ~10 ms for 64Mi on v5e) and keep only `capc` slots.
+    The host concatenates the per-chunk prefixes (cheap numpy) — the
+    resulting stream is byte-identical to the scatter path's because chunks
+    are contiguous. Chunks that overflow `capc` raise a flag; the caller
+    re-runs the capc == cw variant (always lossless).
+
+  decode: placement of the compacted stream back to escaped positions is a
+    per-chunk permutation — expressed as a one-hot contraction that the MXU
+    executes instead of a gather. Each output element receives exactly one
+    term, so float arithmetic is exact.
+
+Used automatically when the default backend is a TPU; CPU keeps the scatter
+path (fast there, and bit-identical output either way).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+CHUNK_W = 512  # elements per compaction chunk (8 DCT blocks)
+CAPC = 128  # default escape capacity per chunk (fallback: CHUNK_W)
+
+_INTMAX = jnp.iinfo(jnp.int32).max
+
+
+def compact_chunked(
+    flat_mask: jax.Array,
+    flat_vals: jax.Array,
+    cw: int = CHUNK_W,
+    capc: int = CAPC,
+):
+    """Compact masked values chunk-locally.
+
+    flat_mask/flat_vals: (n,) with n % cw == 0 (encoder pads to blocks which
+    divide cw). Returns (ac_chunks (n/cw, capc), counts (n/cw,) int32,
+    overflowed () bool). Values beyond each chunk's count are zeros.
+    """
+    n = flat_mask.shape[0]
+    assert n % cw == 0, (n, cw)
+    nc = n // cw
+    mask2 = flat_mask.reshape(nc, cw)
+    vals2 = flat_vals.reshape(nc, cw)
+    keys = jnp.where(
+        mask2, jax.lax.broadcasted_iota(jnp.int32, (nc, cw), 1), _INTMAX
+    )
+    skeys, svals = jax.lax.sort((keys, vals2), dimension=-1, num_keys=1)
+    counts = jnp.sum(mask2, axis=-1, dtype=jnp.int32)
+    ac = jnp.where(
+        skeys[:, :capc] != _INTMAX, svals[:, :capc], jnp.zeros_like(svals[:, :capc])
+    )
+    overflowed = jnp.any(counts > capc)
+    return ac, counts, overflowed
+
+
+def expand_chunked(
+    mask2: jax.Array,
+    ac_chunks: jax.Array,
+) -> jax.Array:
+    """Inverse of compact_chunked: values back at masked positions (else 0).
+
+    mask2: (nc, cw) bool; ac_chunks: (nc, capc). The k-th masked position of
+    chunk c receives ac_chunks[c, k] — computed as a one-hot MXU contraction
+    (each output gets exactly one term, so the f32 arithmetic is exact).
+    """
+    nc, cw = mask2.shape
+    capc = ac_chunks.shape[1]
+    rank = jnp.cumsum(mask2.astype(jnp.int32), axis=-1) - 1  # (nc, cw)
+    rank = jnp.where(mask2, rank, -1)
+    onehot = (
+        rank[:, :, None] == jnp.arange(capc, dtype=jnp.int32)[None, None, :]
+    ).astype(ac_chunks.dtype)
+    out = jnp.einsum(
+        "cjk,ck->cj",
+        onehot,
+        ac_chunks,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out
+
+
+def use_chunked_compaction() -> bool:
+    """Chunk-local compaction for TPU-ish backends, scatter elsewhere."""
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat not in ("cpu", "gpu")

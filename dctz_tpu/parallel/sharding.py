@@ -57,7 +57,7 @@ def padded_size(n: int, n_devices: int, block_size: int) -> int:
     return -(-n // quantum) * quantum
 
 
-def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name):
+def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name, compaction):
     """Per-shard pipeline body (runs inside shard_map)."""
     amax = jax.lax.pmax(jnp.max(jnp.abs(x_local)), axis_name)
     total = jax.lax.psum(jnp.sum(x_local, dtype=x_local.dtype), axis_name)
@@ -66,33 +66,52 @@ def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name):
 
     xs = x_local / sf
     n_local = xs.shape[0]  # multiple of block_size by construction
-    coeffs = transform.block_dct(xs.reshape(-1, cfg.block_size))
-    q = qz.encode(coeffs, n_local, cfg, ac_capacity, axis_name=axis_name)
+    coeffs = transform.block_dct_flat(xs, cfg.block_size)
+    q = qz.encode(
+        coeffs, n_local, cfg, ac_capacity, axis_name=axis_name,
+        compaction=compaction,
+    )
     return q, sf, mean
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_real", "cfg", "ac_capacity", "mesh")
+    jax.jit,
+    static_argnames=("n_real", "cfg", "ac_capacity", "mesh", "compaction"),
 )
-def encode_sharded(x_padded, *, n_real: int, cfg: CodecConfig, ac_capacity: int, mesh: Mesh):
+def encode_sharded(
+    x_padded,
+    *,
+    n_real: int,
+    cfg: CodecConfig,
+    ac_capacity: int | None,
+    mesh: Mesh,
+    compaction: str = "global",
+):
     """Sharded compression device program.
 
     x_padded: (n_pad,) zero-padded to a multiple of n_devices * block_size,
     sharded (or shardable) over the mesh. Returns globally-assembled views:
-    bin_ids (n_pad/bs, bs), dc (n_pad/bs,), per-shard AC buffers
-    (n_dev, ac_capacity) with counts (n_dev,), plus replicated sf / mean /
-    qtable.
+    bin_ids (n_pad/bs, bs), dc (n_pad/bs,), the AC stream in the requested
+    layout (global: per-shard (n_dev, cap) buffers + (n_dev,) counts;
+    chunked: (nchunks, capc) + per-chunk counts + replicated overflow flag),
+    plus replicated sf / mean / qtable.
     """
     qt = cfg.mode == "qt"
 
     def body(x_local):
-        q, sf, mean = _local_encode(x_local, n_real, cfg, ac_capacity, AXIS)
+        q, sf, mean = _local_encode(
+            x_local, n_real, cfg, ac_capacity, AXIS, compaction
+        )
         qtable = q.qtable if qt else jnp.zeros((cfg.block_size,), x_local.dtype)
+        if compaction == "chunked":
+            overflow = jax.lax.pmax(q.overflowed.astype(jnp.int32), AXIS)
+            return (q.bin_ids, q.dc, q.ac_buf, q.ac_count, overflow, sf, mean, qtable)
         return (
             q.bin_ids,
             q.dc,
             q.ac_buf[None, :],
             q.ac_count[None],
+            jnp.int32(0),
             sf,
             mean,
             qtable,
@@ -102,37 +121,50 @@ def encode_sharded(x_padded, *, n_real: int, cfg: CodecConfig, ac_capacity: int,
         body,
         mesh=mesh,
         in_specs=P(AXIS),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
     )(x_padded)
     return out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_pad", "cfg", "dtype", "mesh")
+    jax.jit, static_argnames=("n_pad", "cfg", "dtype", "mesh", "ac_layout")
 )
 def decode_sharded(
-    bin_ids, dc, ac_shards, sf, qtable, *, n_pad: int, cfg: CodecConfig, dtype: str, mesh: Mesh
+    bin_ids,
+    dc,
+    ac_shards,
+    sf,
+    qtable,
+    *,
+    n_pad: int,
+    cfg: CodecConfig,
+    dtype: str,
+    mesh: Mesh,
+    ac_layout: str = "global",
 ):
     """Sharded decompression device program.
 
-    bin_ids: (n_pad/bs, bs) sharded over rows; ac_shards: (n_dev, cap) —
-    each shard's slice of the AC stream, pre-split on host (the per-shard
-    escape counts are recomputable from bin_ids alone). Returns the flat
+    bin_ids: (n_pad/bs, bs) sharded over rows. ac_shards: the AC stream,
+    pre-split on host — global layout: (n_dev, cap), one row per shard;
+    chunked layout: (nchunks, capc) rows sharded over the mesh (per-chunk
+    counts are recomputable from bin_ids alone). Returns the flat
     reconstructed padded array, sharded over the mesh.
     """
 
     def body(ids_local, dc_local, ac_local, sf_rep, qtable_rep):
         n_local = ids_local.shape[0] * ids_local.shape[1]
+        ac = ac_local[0] if ac_layout == "global" else ac_local
         coeffs = qz.decode(
             ids_local,
             dc_local,
-            ac_local[0],
+            ac,
             qtable_rep if cfg.mode == "qt" else None,
             n_local,
             cfg,
             jnp.dtype(dtype),
+            ac_layout,
         )
-        x = transform.block_idct(coeffs).reshape(-1)
+        x = transform.block_idct_flat(coeffs)
         return x * sf_rep.astype(x.dtype)
 
     return jax.shard_map(

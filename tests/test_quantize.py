@@ -136,6 +136,69 @@ def test_qt_all_outliers_stay_escaped():
     assert int(q_qt.ac_count) == int(q_ec.ac_count)
 
 
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_chunked_compaction_matches_global(mode):
+    """The TPU chunk-local compaction (ops/compaction.py) must produce the
+    exact same AC stream as the global cumsum+scatter path."""
+    rng = np.random.default_rng(5)
+    cfg = CodecConfig(mode=mode, error_bound=1e-3)
+    coeffs = _coeff_grid(rng, nblk=64)
+    n = coeffs.size
+    qg = qz.encode(jnp.asarray(coeffs), n, cfg, compaction="global")
+    qc = qz.encode(jnp.asarray(coeffs), n, cfg, compaction="chunked",
+                   ac_capacity=qz.chunk_width(n, 64))
+    np.testing.assert_array_equal(np.asarray(qg.bin_ids), np.asarray(qc.bin_ids))
+    counts = np.asarray(qc.ac_count)
+    capc = qc.ac_buf.shape[1]
+    sel = np.arange(capc)[None, :] < counts[:, None]
+    ac_chunked = np.asarray(qc.ac_buf)[sel]
+    np.testing.assert_array_equal(
+        np.asarray(qg.ac_buf[: int(qg.ac_count)]), ac_chunked
+    )
+    assert int(qg.ac_count) == int(counts.sum())
+    assert not bool(qc.overflowed)
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_chunked_decode_matches_global(mode):
+    rng = np.random.default_rng(6)
+    cfg = CodecConfig(mode=mode, error_bound=1e-3)
+    coeffs = _coeff_grid(rng, nblk=64)
+    n = coeffs.size
+    q = qz.encode(jnp.asarray(coeffs), n, cfg, compaction="global")
+    ac = np.asarray(q.ac_buf[: int(q.ac_count)])
+    rec_g = np.asarray(
+        qz.decode(q.bin_ids, q.dc, q.ac_buf, q.qtable, n, cfg, jnp.float64)
+    )
+    # re-pad the stream into per-chunk rows like the decompress host stage
+    cw = qz.chunk_width(n, 64)
+    esc = np.asarray(q.bin_ids) == 255
+    esc[:, 0] = False
+    counts = esc.reshape(-1, cw).sum(axis=1)
+    capc = cw
+    padded = np.zeros((counts.size, capc), np.float32)
+    padded[np.arange(capc)[None, :] < counts[:, None]] = ac
+    rec_c = np.asarray(
+        qz.decode(
+            q.bin_ids, q.dc, jnp.asarray(padded), q.qtable, n, cfg,
+            jnp.float64, ac_layout="chunked",
+        )
+    )
+    np.testing.assert_array_equal(rec_g, rec_c)
+
+
+def test_chunked_overflow_flag():
+    cfg = CodecConfig(mode="ec", error_bound=1e-3)
+    coeffs = np.full((64, 64), 1e6)  # every AC escapes
+    q = qz.encode(jnp.asarray(coeffs), 64 * 64, cfg, compaction="chunked",
+                  ac_capacity=16)
+    assert bool(q.overflowed)
+    q2 = qz.encode(jnp.asarray(coeffs), 64 * 64, cfg, compaction="chunked",
+                   ac_capacity=qz.chunk_width(64 * 64, 64))
+    assert not bool(q2.overflowed)
+    assert int(np.asarray(q2.ac_count).sum()) == 64 * 63
+
+
 def test_escape_id_boundary_clamp():
     """A coefficient exactly at +range_max is in-range; the reference would
     index conv_tbl[255] (UB) — we clamp to the outermost bin, whose center

@@ -1,0 +1,154 @@
+"""Evaluation harness: dataset x error-bound x mode sweeps.
+
+Covers the roles of tests/test-dctz.sh / test-dctz-f.sh (round-trip sweeps
+with CR/PSNR/max-rel-err logging) and zc-patches/zc-ratedistortion.sh (the
+Z-Checker rate-distortion driver) — but with machine-checkable output: one
+CSV/JSONL row per run instead of tee'd logs.
+
+Head-to-head comparators: Z-Checker's SZ/zfp binaries are not installable in
+this environment, so the general-purpose lossless codecs Python ships
+(zlib, lzma, bz2) serve as the comparison points the harness records; the
+CSV schema matches what zc-ratedistortion.sh collects (compressor, dataset,
+eb, CR, PSNR) so real Z-Checker results can be merged in later.
+
+Usage:
+    python -m dctz_tpu.eval.harness --suite msst19 --out eval/results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import bz2
+import csv
+import json
+import lzma
+import sys
+import time
+import zlib
+
+import numpy as np
+
+from .datasets import SUITES, Dataset
+
+DEFAULT_BOUNDS = (1e-3, 1e-4, 1e-5)  # tests/test-dctz.sh:15
+
+
+def run_one(
+    ds: Dataset,
+    error_bound: float,
+    mode: str,
+    engine: str = "jax",
+    data_dir: str | None = None,
+) -> dict:
+    """One compression round trip -> metrics row."""
+    from ..utils.metrics import evaluate
+
+    x = ds.load(data_dir)
+    t0 = time.perf_counter()
+    if engine == "native":
+        from .. import native
+
+        blob = native.compress(x, error_bound, mode)
+        t1 = time.perf_counter()
+        rec = native.decompress(blob)
+    else:
+        from .. import compress, decompress
+
+        blob = compress(x, error_bound, mode)
+        t1 = time.perf_counter()
+        rec = decompress(blob)
+    t2 = time.perf_counter()
+    m = evaluate(x, rec, error_bound, len(blob))
+    return {
+        "compressor": f"dctz_{mode}_{engine}",
+        "dataset": ds.name,
+        "dtype": ds.dtype,
+        "n": ds.n,
+        "error_bound": error_bound,
+        "ratio": round(m["ratio"], 4),
+        "psnr_db": round(m["psnr_db"], 3),
+        "max_rel_err": m["max_rel_err"],
+        "bound_satisfied": m["bound_satisfied"],
+        "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),
+        "decompress_mb_s": round(x.nbytes / 1e6 / (t2 - t1), 2),
+    }
+
+
+def run_lossless_baseline(ds: Dataset, codec: str, data_dir: str | None = None) -> dict:
+    """Lossless comparison point (stand-in for the SZ/zfp head-to-head)."""
+    x = ds.load(data_dir)
+    raw = x.tobytes()
+    t0 = time.perf_counter()
+    if codec == "zlib":
+        blob = zlib.compress(raw, 6)
+    elif codec == "lzma":
+        blob = lzma.compress(raw, preset=1)
+    else:
+        blob = bz2.compress(raw, 5)
+    dt = time.perf_counter() - t0
+    return {
+        "compressor": codec,
+        "dataset": ds.name,
+        "dtype": ds.dtype,
+        "n": ds.n,
+        "error_bound": 0.0,
+        "ratio": round(len(raw) / len(blob), 4),
+        "psnr_db": float("inf"),
+        "max_rel_err": 0.0,
+        "bound_satisfied": True,
+        "compress_mb_s": round(len(raw) / 1e6 / dt, 2),
+        "decompress_mb_s": float("nan"),
+    }
+
+
+def sweep(
+    suite: str,
+    bounds=DEFAULT_BOUNDS,
+    modes=("ec", "qt"),
+    engines=("jax",),
+    lossless=("zlib",),
+    data_dir: str | None = None,
+    progress=print,
+):
+    rows = []
+    for ds in SUITES[suite]:
+        for codec in lossless:
+            rows.append(run_lossless_baseline(ds, codec, data_dir))
+            progress(json.dumps(rows[-1]))
+        for eb in bounds:
+            for mode in modes:
+                for engine in engines:
+                    rows.append(run_one(ds, eb, mode, engine, data_dir))
+                    progress(json.dumps(rows[-1]))
+    return rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dctz-eval")
+    p.add_argument("--suite", choices=sorted(SUITES), default="msst19")
+    p.add_argument("--bounds", type=float, nargs="+", default=list(DEFAULT_BOUNDS))
+    p.add_argument("--modes", nargs="+", default=["ec", "qt"])
+    p.add_argument(
+        "--engines",
+        nargs="+",
+        default=["jax"],
+        choices=["jax", "native"],
+    )
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--out", default=None, help="CSV output path")
+    args = p.parse_args(argv)
+
+    rows = sweep(
+        args.suite, args.bounds, args.modes, args.engines, data_dir=args.data_dir
+    )
+    if args.out:
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {len(rows)} rows to {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,95 @@
+"""Tools (C20) and evaluation harness (C18/C19) tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+import dctz_tpu
+from dctz_tpu import native
+from dctz_tpu.eval import harness
+from dctz_tpu.eval.datasets import SUITES, Dataset, parse_list_file
+from dctz_tpu.tools import bin2csv, dctz_dump, rand_gen
+
+
+def test_rand_gen_kinds(tmp_path):
+    for kind in ("rand", "smooth", "climate"):
+        out = tmp_path / f"{kind}.bin"
+        rc = rand_gen.main([str(1000), str(out), "--kind", kind])
+        assert rc == 0
+        assert np.fromfile(out, np.float64).size == 1000
+
+
+def test_bin2csv(tmp_path):
+    x = np.arange(10, dtype=np.float32)
+    src = tmp_path / "x.bin"
+    x.tofile(src)
+    dst = tmp_path / "x.csv"
+    assert bin2csv.main([str(src), str(dst), "--dtype", "f32"]) == 0
+    got = np.loadtxt(dst, delimiter=",")
+    np.testing.assert_array_equal(got, x)
+
+
+def test_dctz_dump_v1_and_v2(tmp_path, capsys):
+    x = np.sin(np.linspace(0, 30, 10000)) * 5
+    from dctz_tpu.config import CodecConfig
+
+    for container in ("v1", "v2"):
+        blob = dctz_tpu.compress(
+            x, config=CodecConfig(mode="qt", error_bound=1e-3, container=container)
+        )
+        p = tmp_path / f"{container}.z"
+        p.write_bytes(blob)
+        info = dctz_dump.dump(str(p))
+        assert info["format"] == container
+        assert info["num_elements"] == 10000
+        assert info["mode"] == "qt"
+        assert info["has_qtable"]
+    assert dctz_dump.main([str(tmp_path / "v1.z")]) == 0
+    assert json.loads(capsys.readouterr().out)["error_bound"] == 1e-3
+
+
+def test_dataset_registry_loads_synthetic():
+    for suite, sets in SUITES.items():
+        ds = sets[0]
+        x = ds.load()
+        assert x.size == ds.n
+        assert x.dtype == ds.np_dtype
+
+
+def test_parse_list_file(tmp_path):
+    lst = tmp_path / "list.txt"
+    lst.write_text("a.bin 100\nb.bin 10 20\n# comment\n")
+    sets = parse_list_file(lst, "f32")
+    assert [d.n for d in sets] == [100, 200]
+    assert sets[1].dims == (10, 20)
+
+
+def test_harness_run_one():
+    ds = Dataset("toy", (9000,), "f64", "smooth")
+    row = harness.run_one(ds, 1e-3, "ec")
+    assert row["bound_satisfied"]
+    assert row["ratio"] > 1
+    assert row["compressor"] == "dctz_ec_jax"
+
+
+def test_harness_lossless_baseline():
+    ds = Dataset("toy", (5000,), "f32", "smooth")
+    row = harness.run_lossless_baseline(ds, "zlib")
+    assert row["compressor"] == "zlib"
+    assert row["ratio"] > 0
+
+
+def test_harness_sweep_writes_csv(tmp_path):
+    # tiny sweep over the randgen suite
+    rows = harness.sweep(
+        "randgen", bounds=(1e-3,), modes=("ec",), progress=lambda *_: None
+    )
+    assert any(r["compressor"] == "dctz_ec_jax" for r in rows)
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_harness_native_engine():
+    ds = Dataset("toy", (6400,), "f64", "climate")
+    row = harness.run_one(ds, 1e-3, "qt", engine="native")
+    assert row["bound_satisfied"]

@@ -134,12 +134,17 @@ def compress(
     mode: str = "ec",
     *,
     config: CodecConfig | None = None,
+    timer=None,
 ) -> bytes:
     """Compress a flat float array; returns the container bytes.
 
     Equivalent to dctz_compress (dctz-comp-lib.c:90) with the mode selected
-    at runtime instead of compile time.
+    at runtime instead of compile time. Pass a utils.timing.StageTimer as
+    `timer` for the reference's TIME_DEBUG-style per-stage breakdown.
     """
+    from .utils.timing import StageTimer
+
+    timer = timer or StageTimer()
     cfg = config or CodecConfig(mode=mode, error_bound=error_bound)
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = _resolve_input(x, cfg)
@@ -147,14 +152,18 @@ def compress(
     if n == 0:
         raise ValueError("cannot compress an empty array")
 
-    q, stats = _encode_device(arr, n, cfg, None)
-    if q.overflowed is not None and bool(jax.device_get(q.overflowed)):
-        # Rare: some chunk exceeded the default per-chunk AC capacity; the
-        # full-capacity variant is always lossless.
-        q, stats = _encode_device(arr, n, cfg, qz.chunk_width(_padded(n, cfg), cfg.block_size))
-    ac, bin_ids, ac_count = _assemble_ac(q)
-    dc, sf, mean = jax.device_get((q.dc, stats.sf, stats.mean))
-    qtable = jax.device_get(q.qtable) if q.qtable is not None else None
+    with timer.stage("device"):
+        q, stats = _encode_device(arr, n, cfg, None)
+        if q.overflowed is not None and bool(jax.device_get(q.overflowed)):
+            # Rare: some chunk exceeded the default per-chunk AC capacity;
+            # the full-capacity variant is always lossless.
+            q, stats = _encode_device(
+                arr, n, cfg, qz.chunk_width(_padded(n, cfg), cfg.block_size)
+            )
+    with timer.stage("transfer"):
+        ac, bin_ids, ac_count = _assemble_ac(q)
+        dc, sf, mean = jax.device_get((q.dc, stats.sf, stats.mean))
+        qtable = jax.device_get(q.qtable) if q.qtable is not None else None
 
     # The header always records the ORIGINAL dtype: with internal_dtype=
     # "float32" the streams are float32 either way (USE_TRUNCATE semantics),
@@ -176,21 +185,25 @@ def compress(
     )
     flat_ids = bin_ids.reshape(-1)[:n]
 
-    if cfg.container == "v1":
-        bz, dz, az = entropy.deflate_streams(
-            [flat_ids.tobytes(), dc.tobytes(), ac.tobytes()], cfg.zlib_level
-        )
-        header.bindex_nbytes = len(bz)
-        header.dc_nbytes = len(dz)
-        header.ac_nbytes = len(az)
-        return ct.pack_v1(header, bz, dz, az, qtable)
+    with timer.stage("zlib"):
+        if cfg.container == "v1":
+            bz, dz, az = entropy.deflate_streams(
+                [flat_ids.tobytes(), dc.tobytes(), ac.tobytes()],
+                cfg.zlib_level,
+            )
+            header.bindex_nbytes = len(bz)
+            header.dc_nbytes = len(dz)
+            header.ac_nbytes = len(az)
+            return ct.pack_v1(header, bz, dz, az, qtable)
 
-    streams = (
-        entropy.chunked_deflate(flat_ids.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
-        entropy.chunked_deflate(dc.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
-        entropy.chunked_deflate(ac.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
-    )
-    return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
+        streams = (
+            entropy.chunked_deflate(
+                flat_ids.tobytes(), cfg.chunk_bytes, cfg.zlib_level
+            ),
+            entropy.chunked_deflate(dc.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+            entropy.chunked_deflate(ac.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+        )
+        return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
 
 def _header_config(header: ct.Header) -> CodecConfig:

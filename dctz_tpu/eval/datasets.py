@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import pathlib
+import zlib
 
 import numpy as np
 
@@ -42,7 +43,8 @@ class Dataset:
             for c in candidates:
                 if c.exists():
                     return np.fromfile(c, dtype=self.np_dtype, count=self.n)
-        seed = abs(hash(self.name)) % (1 << 31)
+        # stable across processes (Python's str hash is salted per run)
+        seed = zlib.crc32(self.name.encode()) % (1 << 31)
         return generate(self.n, self.kind, seed).astype(self.np_dtype)
 
 

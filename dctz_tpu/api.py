@@ -106,6 +106,95 @@ def _decode_device(
     return (x * sf.astype(x.dtype))[:n]
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _stats_device(x_padded: jax.Array, n_real: int, sf_adj: int):
+    """(sf, mean) over a zero-padded array; pads never affect max|x| and the
+    mean divides by the true count."""
+    from .core.stats import scaling_factor
+
+    amax = jnp.max(jnp.abs(x_padded))
+    mean = jnp.sum(x_padded) / jnp.asarray(n_real, x_padded.dtype)
+    return scaling_factor(amax, sf_adj), mean
+
+
+def _fused_eligible(cfg: CodecConfig, arr: jax.Array, n: int) -> bool:
+    """The Pallas fused EC kernel handles the default geometry on TPU-like
+    backends; v1 containers additionally need n % 128 == 0 (no padding
+    allowed in the reference stream layout)."""
+    from .ops.compaction import use_chunked_compaction
+
+    return (
+        cfg.mode == "ec"
+        and cfg.truncate
+        and cfg.block_size == 64
+        and cfg.nbins == C.NBINS
+        and cfg.brsf == 1.0
+        and arr.dtype == jnp.float32
+        and use_chunked_compaction()
+        and (cfg.container == "v2" or n % 1024 == 0)
+    )
+
+
+def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
+    """EC fast path: Pallas fused kernel + chunk-local compaction."""
+    from .core.quantize import chunk_width
+    from .ops import fused_encode as fe
+
+    pad = (-n) % 1024  # (8 sublanes x 128 lanes) tile quantum
+    with timer.stage("device"):
+        if pad:
+            arr = jnp.concatenate([arr, jnp.zeros((pad,), arr.dtype)])
+        n_pad = n + pad
+        sf, mean = _stats_device(arr, n, cfg.sf_adj)
+        out = fe.fused_encode_pipeline(arr, sf, cfg.error_bound, None)
+        if bool(jax.device_get(out[4])):
+            out = fe.fused_encode_pipeline(
+                arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
+            )
+        ids, dc, ac_chunks, counts = out[:4]
+    with timer.stage("transfer"):
+        ids, dc, ac_chunks, counts, sf, mean = jax.device_get(
+            (ids, dc, ac_chunks, counts, sf, mean)
+        )
+    capc = ac_chunks.shape[1]
+    ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
+
+    header = ct.Header(
+        dtype=src_dtype,
+        num_elements=n,
+        error_bound=cfg.error_bound,
+        ac_count=int(counts.sum()),
+        scaling_factor=float(sf),
+        mean=float(mean),
+        bindex_nbytes=0,
+        dc_nbytes=0,
+        ac_nbytes=0,
+        mode=cfg.mode,
+        block_size=cfg.block_size,
+        nbins=cfg.nbins,
+        truncate=cfg.truncate,
+    )
+    stream_len = n if cfg.container == "v1" else n_pad
+    flat_ids = ids.reshape(-1)[:stream_len]
+    with timer.stage("zlib"):
+        if cfg.container == "v1":
+            bz, dz, az = entropy.deflate_streams(
+                [flat_ids.tobytes(), dc.tobytes(), ac.tobytes()],
+                cfg.zlib_level,
+            )
+            header.bindex_nbytes, header.dc_nbytes, header.ac_nbytes = (
+                len(bz),
+                len(dz),
+                len(az),
+            )
+            return ct.pack_v1(header, bz, dz, az, None)
+        streams = tuple(
+            entropy.chunked_deflate(buf, cfg.chunk_bytes, cfg.zlib_level)
+            for buf in (flat_ids.tobytes(), dc.tobytes(), ac.tobytes())
+        )
+        return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
+
+
 def _resolve_input(x, cfg: CodecConfig) -> jax.Array:
     """Validate dtype / x64 availability; apply internal_dtype policy."""
     arr = jnp.asarray(x)
@@ -151,6 +240,9 @@ def compress(
     n = int(arr.shape[0])
     if n == 0:
         raise ValueError("cannot compress an empty array")
+
+    if _fused_eligible(cfg, arr, n):
+        return _compress_fused(arr, n, cfg, src_dtype, timer)
 
     with timer.stage("device"):
         q, stats = _encode_device(arr, n, cfg, None)

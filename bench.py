@@ -42,7 +42,7 @@ from dctz_tpu import native  # noqa: E402
 from dctz_tpu.config import CodecConfig  # noqa: E402
 from dctz_tpu.core import container as ct  # noqa: E402
 from dctz_tpu.core import entropy, quantize as qz  # noqa: E402
-from dctz_tpu.api import _assemble_ac, _decode_device, _encode_device  # noqa: E402
+from dctz_tpu.api import _decode_device  # noqa: E402
 from dctz_tpu.core.constants import ESCAPE  # noqa: E402
 
 N = 1 << 25  # 32Mi elements, 128 MB float32
@@ -92,18 +92,29 @@ def time_device(fn, sync_leaf, k=K) -> float:
 
 
 def bench_jax() -> dict:
+    from dctz_tpu.api import _stats_device
+    from dctz_tpu.ops import fused_encode as fe
+
     x = jax.jit(climate_formula_jax, static_argnums=0)(N)
     _sync(x)
 
-    # ---- compress: device stage ----
-    enc = lambda: _encode_device(x, N, CFG, None)[0]  # noqa: E731
-    t_dev_c = time_device(enc, lambda q: q.dc)
-    q = enc()
+    # ---- compress: device stage (stats + fused Pallas kernel + compact) --
+    def enc():
+        sf, mean = _stats_device(x, N, CFG.sf_adj)
+        return fe.fused_encode_pipeline(x, sf, EB, None) + (sf, mean)
+
+    t_dev_c = time_device(enc, lambda r: r[1])
+    ids_d, dc_d2, ac_chunks_d, counts_d, ovf_d, sf_d, mean_d = enc()
+    assert not bool(jax.device_get(ovf_d)), "bench data overflowed capc"
 
     # pull streams once (tunnel transfer, reported separately)
     t0 = time.perf_counter()
-    ac, bin_ids, ac_count = _assemble_ac(q)
-    dc = np.asarray(jax.device_get(q.dc))
+    bin_ids, dc, ac_chunks, counts = jax.device_get(
+        (ids_d, dc_d2, ac_chunks_d, counts_d)
+    )
+    capc = ac_chunks.shape[1]
+    ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
+    ac_count = int(counts.sum())
     t_tunnel = time.perf_counter() - t0
 
     flat_ids = bin_ids.reshape(-1)[:N]

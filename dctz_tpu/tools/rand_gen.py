@@ -22,12 +22,19 @@ def generate(n: int, kind: str = "rand", seed: int = 0) -> np.ndarray:
         t = np.linspace(0, 60 * np.pi, n)
         return np.sin(t) * 50 + np.cos(t * 0.37) * 20
     if kind == "climate":
-        # smooth field + small-scale noise + rare spikes, the structure of
-        # CESM-ATM-like variables
+        # smooth field + small-scale noise + rare moderate spikes, the
+        # structure of CESM-ATM-like variables
         t = np.linspace(0, 200 * np.pi, n)
         x = np.sin(t) * 40 + np.sin(t * 13.7) * 3 + rng.standard_normal(n) * 0.2
         spikes = rng.random(n) < 1e-4
-        x[spikes] *= 50
+        x[spikes] *= 5
+        return x
+    if kind == "spiky":
+        # adversarial stress case: huge isolated spikes drive the scaling
+        # factor up and concentrate error in spike blocks
+        t = np.linspace(0, 200 * np.pi, n)
+        x = np.sin(t) * 40 + rng.standard_normal(n) * 0.2
+        x[rng.random(n) < 1e-4] *= 50
         return x
     raise ValueError(f"unknown kind {kind}")
 
@@ -37,7 +44,7 @@ def main(argv=None) -> int:
     p.add_argument("n", type=int)
     p.add_argument("out")
     p.add_argument("--dtype", choices=["f64", "f32"], default="f64")
-    p.add_argument("--kind", choices=["rand", "smooth", "climate"], default="rand")
+    p.add_argument("--kind", choices=["rand", "smooth", "climate", "spiky"], default="rand")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     x = generate(args.n, args.kind, args.seed)

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Round-trip sweep driver (tests/test-dctz.sh + test-dctz-f.sh equivalent).
+# The reference loops dataset lists x error bounds and tees logs; this
+# drives the same sweeps through the eval harness with machine-checkable
+# CSV output. Real dataset files are picked up from $DCTZ_DATA_DIR.
+set -e
+DATA=${DCTZ_DATA_DIR:+--data-dir "$DCTZ_DATA_DIR"}
+python -m dctz_tpu.eval.harness --suite msst19  --modes ec qt $DATA --out eval/results_msst19.csv
+python -m dctz_tpu.eval.harness --suite cesm-atm --modes ec qt $DATA --out eval/results_cesm.csv
+python -m dctz_tpu.eval.harness --suite randgen --modes ec $DATA --out eval/results_randgen.csv
+echo "all sweeps done"

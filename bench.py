@@ -139,7 +139,7 @@ def bench_jax() -> dict:
     esc[:, 0] = False
     cw = qz.chunk_width(N, 64)
     counts = esc.reshape(-1, cw).sum(axis=1)
-    capc = next(t for t in [t for t in (32, 128) if t < cw] + [cw] if t >= min(int(counts.max()), cw))
+    capc = next(t for t in [t for t in (32, 64, 128) if t < cw] + [cw] if t >= min(int(counts.max()), cw))
     ac_pad = np.zeros((counts.size, capc), np.float32)
     ac_pad[np.arange(capc)[None, :] < counts[:, None]] = ac_i
     t_host_d = time.perf_counter() - t0

@@ -358,7 +358,7 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         esc[:, 0] = False
         counts = esc.reshape(-1, cw).sum(axis=1)
         peak = int(counts.max()) if counts.size else 0
-        tiers = [t for t in (32, 128) if t < cw] + [cw]
+        tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
         capc = next(t for t in tiers if t >= min(peak, cw))
         ac_padded = np.zeros((counts.size, capc), stored)
         ac_padded[np.arange(capc)[None, :] < counts[:, None]] = ac
@@ -535,7 +535,7 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
         cw = qz.chunk_width(n_pad // n_dev, bs)
         counts = esc2d.reshape(-1, cw).sum(axis=1)
         peak = int(counts.max()) if counts.size else 0
-        tiers = [t for t in (32, 128) if t < cw] + [cw]
+        tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
         capc = next(t for t in tiers if t >= min(peak, cw))
         ac_shards = np.zeros((counts.size, capc), stored)
         ac_shards[np.arange(capc)[None, :] < counts[:, None]] = ac

@@ -118,12 +118,16 @@ def bench_jax() -> dict:
     t_tunnel = time.perf_counter() - t0
 
     flat_ids = bin_ids.reshape(-1)[:N]
-    # ---- compress: host entropy stage (chunk-parallel deflate) ----
+    # ---- compress: host entropy stage (shuffle + chunk-parallel deflate) --
     t0 = time.perf_counter()
     streams = (
         entropy.chunked_deflate(flat_ids.tobytes(), CFG.chunk_bytes, CFG.zlib_level),
-        entropy.chunked_deflate(dc.tobytes(), CFG.chunk_bytes, CFG.zlib_level),
-        entropy.chunked_deflate(ac.tobytes(), CFG.chunk_bytes, CFG.zlib_level),
+        entropy.chunked_deflate(
+            entropy.shuffle_bytes(dc.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
+        ),
+        entropy.chunked_deflate(
+            entropy.shuffle_bytes(ac.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
+        ),
     )
     t_host_c = time.perf_counter() - t0
     out_bytes = sum(len(c) for s in streams for c in s) + 128
@@ -131,8 +135,12 @@ def bench_jax() -> dict:
     # ---- decompress: host inflate + re-chunk ----
     t0 = time.perf_counter()
     ids_i = np.frombuffer(entropy.chunked_inflate(streams[0]), np.uint8)
-    dc_i = np.frombuffer(entropy.chunked_inflate(streams[1]), np.float32)
-    ac_i = np.frombuffer(entropy.chunked_inflate(streams[2]), np.float32)
+    dc_i = np.frombuffer(
+        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[1]), 4), np.float32
+    )
+    ac_i = np.frombuffer(
+        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4), np.float32
+    )
     nblk = N // 64
     ids2 = ids_i.reshape(nblk, 64)
     esc = ids2 == ESCAPE

@@ -188,9 +188,14 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 len(az),
             )
             return ct.pack_v1(header, bz, dz, az, None)
+        header.shuffle = cfg.shuffle
+        dcb, acb = dc.tobytes(), ac.tobytes()
+        if cfg.shuffle:
+            dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
+            acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
         streams = tuple(
             entropy.chunked_deflate(buf, cfg.chunk_bytes, cfg.zlib_level)
-            for buf in (flat_ids.tobytes(), dc.tobytes(), ac.tobytes())
+            for buf in (flat_ids.tobytes(), dcb, acb)
         )
         return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
 
@@ -288,12 +293,18 @@ def compress(
             header.ac_nbytes = len(az)
             return ct.pack_v1(header, bz, dz, az, qtable)
 
+        header.shuffle = cfg.shuffle
+        isz = dc.dtype.itemsize
+        dcb, acb = dc.tobytes(), ac.tobytes()
+        if cfg.shuffle:
+            dcb = entropy.shuffle_bytes(dcb, isz)
+            acb = entropy.shuffle_bytes(acb, isz)
         streams = (
             entropy.chunked_deflate(
                 flat_ids.tobytes(), cfg.chunk_bytes, cfg.zlib_level
             ),
-            entropy.chunked_deflate(dc.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
-            entropy.chunked_deflate(ac.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+            entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+            entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
         )
         return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
@@ -317,6 +328,10 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         bindex = entropy.chunked_inflate(bz)
         dc_raw = entropy.chunked_inflate(dz)
         ac_raw = entropy.chunked_inflate(az)
+        if header.shuffle:
+            isz = header.stored_dtype.itemsize
+            dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
+            ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
     else:
         header, bz, dz, az, qtable = ct.parse_v1(blob)
         bindex, dc_raw, ac_raw = entropy.inflate_streams([bz, dz, az])
@@ -479,12 +494,17 @@ def compress_sharded(
         nbins=cfg.nbins,
         truncate=cfg.truncate,
     )
+    header.shuffle = cfg.shuffle
+    dcb, acb = dc.tobytes(), np.asarray(ac).tobytes()
+    if cfg.shuffle:
+        dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
+        acb = entropy.shuffle_bytes(acb, np.asarray(ac).dtype.itemsize)
     streams = (
         entropy.chunked_deflate(
             bin_ids.reshape(-1).tobytes(), cfg.chunk_bytes, cfg.zlib_level
         ),
-        entropy.chunked_deflate(dc.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
-        entropy.chunked_deflate(ac.tobytes(), cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
     )
     return ct.pack_v2(
         header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes
@@ -503,6 +523,10 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
     bindex = entropy.chunked_inflate(bz)
     dc_raw = entropy.chunked_inflate(dz)
     ac_raw = entropy.chunked_inflate(az)
+    if header.shuffle:
+        isz = header.stored_dtype.itemsize
+        dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
+        ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
 
     n = header.num_elements
     cfg = _header_config(header)

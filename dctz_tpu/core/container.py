@@ -67,6 +67,7 @@ class Header:
     block_size: int = C.BLK_SZ
     nbins: int = C.NBINS
     truncate: bool = True
+    shuffle: bool = False  # v2: DC/AC streams byte-shuffled before deflate
 
     @property
     def nblk(self) -> int:
@@ -188,6 +189,7 @@ _V2_FIXED_SIZE = struct.calcsize(_V2_FIXED_FMT)
 _FLAG_QT = 1 << 0
 _FLAG_TRUNCATE = 1 << 1
 _FLAG_F64 = 1 << 2
+_FLAG_SHUFFLE = 1 << 3  # DC/AC streams byte-shuffled before deflate
 
 
 def pack_v2(
@@ -205,6 +207,8 @@ def pack_v2(
         flags |= _FLAG_TRUNCATE
     if header.dtype == np.float64:
         flags |= _FLAG_F64
+    if header.shuffle:
+        flags |= _FLAG_SHUFFLE
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -296,6 +300,7 @@ def parse_v2(
         block_size=block_size,
         nbins=nbins,
         truncate=bool(flags & _FLAG_TRUNCATE),
+        shuffle=bool(flags & _FLAG_SHUFFLE),
     )
     return header, (streams[0], streams[1], streams[2]), qtable, chunk_bytes
 

@@ -61,6 +61,28 @@ def inflate_streams(streams: Sequence[bytes | memoryview]) -> list[bytes]:
     return [f.result() for f in futs]
 
 
+def shuffle_bytes(data: bytes | memoryview, itemsize: int) -> bytes:
+    """HDF5-style byte shuffle: transpose an array of fixed-size items into
+    per-byte planes. On float streams this groups the (highly repetitive)
+    exponent bytes together — measured on DCTZ DC streams: ratio 1.09 ->
+    1.76 AND ~2x deflate speed (docs/benchmarks.md). v2 containers only."""
+    import numpy as np
+
+    a = np.frombuffer(data, np.uint8)
+    if a.size % itemsize:
+        return bytes(data)  # not item-aligned; store as-is
+    return np.ascontiguousarray(a.reshape(-1, itemsize).T).tobytes()
+
+
+def unshuffle_bytes(data: bytes | memoryview, itemsize: int) -> bytes:
+    import numpy as np
+
+    a = np.frombuffer(data, np.uint8)
+    if a.size % itemsize:
+        return bytes(data)
+    return np.ascontiguousarray(a.reshape(itemsize, -1).T).tobytes()
+
+
 def chunked_deflate(
     data: bytes | memoryview, chunk_bytes: int, level: int = 6
 ) -> list[bytes]:

@@ -133,9 +133,14 @@ def _compress_segment(
         truncate=cfg.truncate,
     )
     flat_ids = bin_ids.reshape(-1)[:n]
+    header.shuffle = cfg.shuffle
+    dcb, acb = dc.tobytes(), ac.tobytes()
+    if cfg.shuffle:
+        dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
+        acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
     streams = tuple(
         entropy.chunked_deflate(buf, cfg.chunk_bytes, cfg.zlib_level)
-        for buf in (flat_ids.tobytes(), dc.tobytes(), ac.tobytes())
+        for buf in (flat_ids.tobytes(), dcb, acb)
     )
     return ct.pack_v2(
         header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes

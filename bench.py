@@ -143,10 +143,9 @@ def bench_jax() -> dict:
     )
     nblk = N // 64
     ids2 = ids_i.reshape(nblk, 64)
-    esc = ids2 == ESCAPE
-    esc[:, 0] = False
     cw = qz.chunk_width(N, 64)
-    counts = esc.reshape(-1, cw).sum(axis=1)
+    from dctz_tpu.api import _chunk_escape_counts
+    counts = _chunk_escape_counts(ids_i, cw, 64)
     capc = next(t for t in [t for t in (32, 64, 128) if t < cw] + [cw] if t >= min(int(counts.max()), cw))
     ac_pad = np.zeros((counts.size, capc), np.float32)
     ac_pad[np.arange(capc)[None, :] < counts[:, None]] = ac_i

@@ -47,7 +47,7 @@ from dctz_tpu.core.constants import ESCAPE  # noqa: E402
 
 N = 1 << 25  # 32Mi elements, 128 MB float32
 EB = 1e-3
-CFG = CodecConfig(mode="ec", error_bound=EB, container="v2")
+CFG = CodecConfig(mode="ec", error_bound=EB, container="v2", ids_zlib_level=5)
 K = 8  # queued dispatches per timing
 
 
@@ -121,7 +121,9 @@ def bench_jax() -> dict:
     # ---- compress: host entropy stage (shuffle + chunk-parallel deflate) --
     t0 = time.perf_counter()
     streams = (
-        entropy.chunked_deflate(flat_ids.tobytes(), CFG.chunk_bytes, CFG.zlib_level),
+        entropy.chunked_deflate(
+            flat_ids.tobytes(), CFG.chunk_bytes, CFG.ids_zlib_level or CFG.zlib_level
+        ),
         entropy.chunked_deflate(
             entropy.shuffle_bytes(dc.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
         ),

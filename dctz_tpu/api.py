@@ -36,6 +36,21 @@ from .core import transform
 from .core.stats import calc_data_stat
 
 
+def _device_cfg(cfg: CodecConfig) -> CodecConfig:
+    """Normalize host-only fields so the jit cache keys on device-relevant
+    geometry only (container/zlib/shuffle settings must not trigger device
+    recompiles)."""
+    return dataclasses.replace(
+        cfg,
+        zlib_level=6,
+        ids_zlib_level=None,
+        container="v1",
+        shuffle=False,
+        chunk_bytes=1 << 22,
+        internal_dtype="auto",
+    )
+
+
 def _padded(n: int, cfg: CodecConfig) -> int:
     """Total padded element count (whole blocks)."""
     return -(-n // cfg.block_size) * cfg.block_size
@@ -193,9 +208,14 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         if cfg.shuffle:
             dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
             acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
-        streams = tuple(
-            entropy.chunked_deflate(buf, cfg.chunk_bytes, cfg.zlib_level)
-            for buf in (flat_ids.tobytes(), dcb, acb)
+        streams = (
+            entropy.chunked_deflate(
+                flat_ids.tobytes(),
+                cfg.chunk_bytes,
+                cfg.ids_zlib_level or cfg.zlib_level,
+            ),
+            entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+            entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
         )
         return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
 
@@ -274,12 +294,13 @@ def compress(
         return _compress_fused(arr, n, cfg, src_dtype, timer)
 
     with timer.stage("device"):
-        q, stats = _encode_device(arr, n, cfg, None)
+        dcfg = _device_cfg(cfg)
+        q, stats = _encode_device(arr, n, dcfg, None)
         if q.overflowed is not None and bool(jax.device_get(q.overflowed)):
             # Rare: some chunk exceeded the default per-chunk AC capacity;
             # the full-capacity variant is always lossless.
             q, stats = _encode_device(
-                arr, n, cfg, qz.chunk_width(_padded(n, cfg), cfg.block_size)
+                arr, n, dcfg, qz.chunk_width(_padded(n, cfg), cfg.block_size)
             )
     with timer.stage("transfer"):
         ac, bin_ids, ac_count = _assemble_ac(q)
@@ -325,7 +346,9 @@ def compress(
             acb = entropy.shuffle_bytes(acb, isz)
         streams = (
             entropy.chunked_deflate(
-                flat_ids.tobytes(), cfg.chunk_bytes, cfg.zlib_level
+                flat_ids.tobytes(),
+                cfg.chunk_bytes,
+                cfg.ids_zlib_level or cfg.zlib_level,
             ),
             entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
             entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
@@ -420,7 +443,7 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         jnp.asarray(dc),
         jnp.asarray(ac),
         n_stream,
-        cfg,
+        _device_cfg(cfg),
         work_dtype,
         ac_layout,
         False,
@@ -476,7 +499,7 @@ def compress_sharded(
         return sh.encode_sharded(
             x_sharded,
             n_real=n,
-            cfg=cfg,
+            cfg=_device_cfg(cfg),
             ac_capacity=ac_capacity,
             mesh=mesh,
             compaction=layout,
@@ -523,7 +546,9 @@ def compress_sharded(
         acb = entropy.shuffle_bytes(acb, np.asarray(ac).dtype.itemsize)
     streams = (
         entropy.chunked_deflate(
-            bin_ids.reshape(-1).tobytes(), cfg.chunk_bytes, cfg.zlib_level
+            bin_ids.reshape(-1).tobytes(),
+            cfg.chunk_bytes,
+            cfg.ids_zlib_level or cfg.zlib_level,
         ),
         entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
         entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
@@ -617,7 +642,7 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
             qtable if qtable is not None else np.zeros(bs, work)
         ).astype(jnp.dtype(work)),
         n_pad=n_pad,
-        cfg=cfg,
+        cfg=_device_cfg(cfg),
         dtype=work,
         mesh=mesh,
         ac_layout=ac_layout,

@@ -110,8 +110,13 @@ def _compress_segment(
     from .api import _assemble_ac
 
     n = seg.shape[0]
+    from .api import _device_cfg
+
     q = _encode_segment(
-        jnp.asarray(seg), jnp.asarray(sf, jnp.float64).astype(seg.dtype), n, cfg
+        jnp.asarray(seg),
+        jnp.asarray(sf, jnp.float64).astype(seg.dtype),
+        n,
+        _device_cfg(cfg),
     )
     ac, bin_ids, ac_count = _assemble_ac(q)
     dc = np.asarray(jax.device_get(q.dc))

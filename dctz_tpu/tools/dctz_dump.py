@@ -39,13 +39,56 @@ def dump(path: str) -> dict:
     }
 
 
+def extract(path: str, out_prefix: str | None = None) -> list[str]:
+    """Write the raw decoded streams next to the container — the artifacts
+    the reference dumps unconditionally during compression
+    (bin_index.bin / DC.bin / AC_exact.bin, dctz-comp-lib.c:583-595)."""
+    from ..core import container as ct
+    from ..core import entropy
+
+    blob = open(path, "rb").read()
+    if ct.detect_format(blob) == "v2":
+        hdr, (bz, dz, az), qtable, _cb = ct.parse_v2(blob)
+        bindex = entropy.chunked_inflate(bz)
+        dc = entropy.chunked_inflate(dz)
+        ac = entropy.chunked_inflate(az)
+        if hdr.shuffle:
+            isz = hdr.stored_dtype.itemsize
+            dc = entropy.unshuffle_bytes(dc, isz)
+            ac = entropy.unshuffle_bytes(ac, isz)
+    else:
+        hdr, bz, dz, az, qtable = ct.parse_v1(blob)
+        bindex, dc, ac = entropy.inflate_streams([bz, dz, az])
+    prefix = out_prefix or path
+    written = []
+    for name, data in (
+        ("bin_index.bin", bindex),
+        ("DC.bin", dc),
+        ("AC_exact.bin", ac),
+    ):
+        p = f"{prefix}.{name}"
+        open(p, "wb").write(data)
+        written.append(p)
+    if qtable is not None:
+        p = f"{prefix}.qtable.bin"
+        qtable.tofile(p)
+        written.append(p)
+    return written
+
+
 def main(argv: list[str] | None = None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    do_extract = "--extract" in argv
+    if do_extract:
+        argv.remove("--extract")
     if not argv:
-        print("usage: dctz_dump <file.z> [...]", file=sys.stderr)
+        print("usage: dctz_dump [--extract] <file.z> [...]", file=sys.stderr)
         return 2
     for path in argv:
         print(json.dumps(dump(path), indent=2))
+        if do_extract:
+            for p in extract(path):
+                print(f"wrote {p}", file=sys.stderr)
     return 0
 
 

@@ -43,7 +43,6 @@ from dctz_tpu.config import CodecConfig  # noqa: E402
 from dctz_tpu.core import container as ct  # noqa: E402
 from dctz_tpu.core import entropy, quantize as qz  # noqa: E402
 from dctz_tpu.api import _decode_device  # noqa: E402
-from dctz_tpu.core.constants import ESCAPE  # noqa: E402
 
 N = 1 << 25  # 32Mi elements, 128 MB float32
 EB = 1e-3

@@ -26,7 +26,6 @@ import sys
 import time
 import zlib
 
-import numpy as np
 
 from .datasets import SUITES, Dataset
 

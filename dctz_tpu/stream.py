@@ -114,7 +114,7 @@ def _compress_segment(
 
     q = _encode_segment(
         jnp.asarray(seg),
-        jnp.asarray(sf, jnp.float64).astype(seg.dtype),
+        jnp.asarray(np.asarray(sf, seg.dtype)),
         n,
         _device_cfg(cfg),
     )

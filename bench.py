@@ -117,12 +117,12 @@ def bench_jax() -> dict:
     t_tunnel = time.perf_counter() - t0
 
     flat_ids = bin_ids.reshape(-1)[:N]
-    # ---- compress: host entropy stage (shuffle + chunk-parallel deflate) --
+    # ---- compress: host entropy stage (ids4 pack + shuffle + deflate) ----
     t0 = time.perf_counter()
+    packed, exc = entropy.pack_ids4(flat_ids.tobytes())
     streams = (
-        entropy.chunked_deflate(
-            flat_ids.tobytes(), CFG.chunk_bytes, CFG.ids_zlib_level or CFG.zlib_level
-        ),
+        entropy.chunked_deflate(packed, CFG.chunk_bytes, 1, entropy.HUFFMAN_ONLY),
+        entropy.chunked_deflate(exc, CFG.chunk_bytes, CFG.zlib_level),
         entropy.chunked_deflate(
             entropy.shuffle_bytes(dc.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
         ),
@@ -135,12 +135,19 @@ def bench_jax() -> dict:
 
     # ---- decompress: host inflate + re-chunk ----
     t0 = time.perf_counter()
-    ids_i = np.frombuffer(entropy.chunked_inflate(streams[0]), np.uint8)
+    ids_i = np.frombuffer(
+        entropy.unpack_ids4(
+            entropy.chunked_inflate(streams[0]),
+            entropy.chunked_inflate(streams[1]),
+            N,
+        ),
+        np.uint8,
+    )
     dc_i = np.frombuffer(
-        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[1]), 4), np.float32
+        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4), np.float32
     )
     ac_i = np.frombuffer(
-        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4), np.float32
+        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[3]), 4), np.float32
     )
     nblk = N // 64
     ids2 = ids_i.reshape(nblk, 64)

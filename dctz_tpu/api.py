@@ -208,16 +208,51 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         if cfg.shuffle:
             dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
             acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
-        streams = (
-            entropy.chunked_deflate(
-                flat_ids.tobytes(),
-                cfg.chunk_bytes,
-                cfg.ids_zlib_level or cfg.zlib_level,
-            ),
+        streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
             entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
             entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
         )
         return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
+
+
+def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
+    """Deflated section(s) for the bin-index stream: (packed[, exceptions])
+    with the IDS4 nibble filter, or the raw stream."""
+    level = cfg.ids_zlib_level or cfg.zlib_level
+    if not cfg.ids4:
+        return (entropy.chunked_deflate(ids_bytes, cfg.chunk_bytes, level),)
+    header.ids4 = True
+    packed, exc = entropy.pack_ids4(ids_bytes)
+    return (
+        entropy.chunked_deflate(
+            packed, cfg.chunk_bytes, 1, entropy.HUFFMAN_ONLY
+        ),
+        entropy.chunked_deflate(exc, cfg.chunk_bytes, level),
+    )
+
+
+def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes]:
+    """Inflate + de-filter a v2 container's sections -> (bindex, dc, ac)."""
+    if header.ids4:
+        packed_z, exc_z, dz, az = streams
+        packed = entropy.chunked_inflate(packed_z)
+        exc = entropy.chunked_inflate(exc_z)
+        # the original stream length is self-describing: exceptions hold one
+        # byte per 15-nibble plus the odd tail byte (if any)
+        p = np.frombuffer(packed, np.uint8)
+        count15 = int(((p & 15) == 15).sum()) + int(((p >> 4) == 15).sum())
+        odd = len(exc) - count15
+        bindex = entropy.unpack_ids4(packed, exc, 2 * len(packed) + odd)
+    else:
+        (bz, dz, az) = streams
+        bindex = entropy.chunked_inflate(bz)
+    dc_raw = entropy.chunked_inflate(dz)
+    ac_raw = entropy.chunked_inflate(az)
+    if header.shuffle:
+        isz = header.stored_dtype.itemsize
+        dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
+        ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+    return bindex, dc_raw, ac_raw
 
 
 def _chunk_escape_counts(flat_ids: np.ndarray, cw: int, bs: int) -> np.ndarray:
@@ -344,12 +379,7 @@ def compress(
         if cfg.shuffle:
             dcb = entropy.shuffle_bytes(dcb, isz)
             acb = entropy.shuffle_bytes(acb, isz)
-        streams = (
-            entropy.chunked_deflate(
-                flat_ids.tobytes(),
-                cfg.chunk_bytes,
-                cfg.ids_zlib_level or cfg.zlib_level,
-            ),
+        streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
             entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
             entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
         )
@@ -371,14 +401,8 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
 
     Equivalent to dctz_decompress (dctz-decomp-lib.c:51)."""
     if ct.detect_format(blob) == "v2":
-        header, (bz, dz, az), qtable, _cb = ct.parse_v2(blob)
-        bindex = entropy.chunked_inflate(bz)
-        dc_raw = entropy.chunked_inflate(dz)
-        ac_raw = entropy.chunked_inflate(az)
-        if header.shuffle:
-            isz = header.stored_dtype.itemsize
-            dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
-            ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+        header, streams, qtable, _cb = ct.parse_v2(blob)
+        bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)
     else:
         header, bz, dz, az, qtable = ct.parse_v1(blob)
         bindex, dc_raw, ac_raw = entropy.inflate_streams([bz, dz, az])
@@ -544,12 +568,7 @@ def compress_sharded(
     if cfg.shuffle:
         dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
         acb = entropy.shuffle_bytes(acb, np.asarray(ac).dtype.itemsize)
-    streams = (
-        entropy.chunked_deflate(
-            bin_ids.reshape(-1).tobytes(),
-            cfg.chunk_bytes,
-            cfg.ids_zlib_level or cfg.zlib_level,
-        ),
+    streams = _ids_streams(bin_ids.reshape(-1).tobytes(), cfg, header) + (
         entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
         entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
     )
@@ -566,14 +585,8 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
     dequantize+IDCT pipeline on every shard."""
     from .parallel import sharding as sh
 
-    header, (bz, dz, az), qtable, _cb = ct.parse_v2(blob)
-    bindex = entropy.chunked_inflate(bz)
-    dc_raw = entropy.chunked_inflate(dz)
-    ac_raw = entropy.chunked_inflate(az)
-    if header.shuffle:
-        isz = header.stored_dtype.itemsize
-        dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
-        ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+    header, streams, qtable, _cb = ct.parse_v2(blob)
+    bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)
 
     n = header.num_elements
     cfg = _header_config(header)

@@ -35,6 +35,10 @@ class CodecConfig:
       ids_zlib_level: optional separate level for the (dominant) bin-index
         stream in v2 containers; level 4 is ~3x faster than 6 for ~8% of
         that stream's ratio — the shuffle filter's gains typically cover it.
+      ids4: nibble-pack the bin-index stream (v2 only): ids <= 14 take 4
+        bits, the rest escape to an exception byte stream. Measured: ~13%
+        smaller ids section AND ~4x faster deflate (HUFFMAN_ONLY suffices
+        on the packed stream).
       container: "v1" emits the reference-compatible single-segment container
         (56-byte C struct header, dctz.h:96-119); "v2" emits the chunked
         TPU-native container that supports parallel entropy coding and
@@ -62,6 +66,7 @@ class CodecConfig:
     ids_zlib_level: int | None = None
     container: Literal["v1", "v2"] = "v1"
     shuffle: bool = True
+    ids4: bool = True
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
 

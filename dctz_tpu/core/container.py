@@ -68,6 +68,7 @@ class Header:
     nbins: int = C.NBINS
     truncate: bool = True
     shuffle: bool = False  # v2: DC/AC streams byte-shuffled before deflate
+    ids4: bool = False  # v2: bin-index stream nibble-packed + exception stream
 
     @property
     def nblk(self) -> int:
@@ -190,16 +191,20 @@ _FLAG_QT = 1 << 0
 _FLAG_TRUNCATE = 1 << 1
 _FLAG_F64 = 1 << 2
 _FLAG_SHUFFLE = 1 << 3  # DC/AC streams byte-shuffled before deflate
+_FLAG_IDS4 = 1 << 4  # bin-index stream nibble-packed (4th section = exceptions)
 
 
 def pack_v2(
     header: Header,
-    streams_z: tuple[list[bytes], list[bytes], list[bytes]],
+    streams_z: tuple,
     qtable: np.ndarray | None,
     chunk_bytes: int,
 ) -> bytes:
     """Assemble the chunked container: fixed header, per-stream chunk-count
-    + chunk-size tables, chunk payloads, optional raw qtable."""
+    + chunk-size tables, chunk payloads, optional raw qtable.
+
+    streams_z: (bindex, dc, ac) chunk lists — plus a 4th (ids exceptions)
+    section when header.ids4 is set."""
     flags = 0
     if header.mode == "qt":
         flags |= _FLAG_QT
@@ -209,6 +214,10 @@ def pack_v2(
         flags |= _FLAG_F64
     if header.shuffle:
         flags |= _FLAG_SHUFFLE
+    if header.ids4:
+        flags |= _FLAG_IDS4
+        if len(streams_z) != 4:
+            raise ValueError("ids4 container needs 4 stream sections")
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -262,10 +271,11 @@ def parse_v2(
         raise ValueError(f"unsupported v2 container version {version}")
     dtype = np.dtype(np.float64 if flags & _FLAG_F64 else np.float32)
     mode = "qt" if flags & _FLAG_QT else "ec"
+    nsections = 4 if flags & _FLAG_IDS4 else 3
 
     off = _V2_FIXED_SIZE
     tables: list[list[int]] = []
-    for _ in range(3):
+    for _ in range(nsections):
         (count,) = struct.unpack_from("<I", blob, off)
         off += 4
         sizes = list(struct.unpack_from(f"<{count}I", blob, off))
@@ -301,8 +311,9 @@ def parse_v2(
         nbins=nbins,
         truncate=bool(flags & _FLAG_TRUNCATE),
         shuffle=bool(flags & _FLAG_SHUFFLE),
+        ids4=bool(flags & _FLAG_IDS4),
     )
-    return header, (streams[0], streams[1], streams[2]), qtable, chunk_bytes
+    return header, tuple(streams), qtable, chunk_bytes
 
 
 def detect_format(blob: bytes | memoryview) -> str:

@@ -27,6 +27,8 @@ def _sha(b: bytes) -> str:
 
 @pytest.mark.parametrize("name", sorted(MANIFEST))
 def test_decode_golden_container(name):
+    """Also covers legacy (pre-IDS4, 3-section) v2 containers marked
+    decode_only — old files must stay decodable forever."""
     meta = MANIFEST[name]
     blob = (GOLDEN / f"{name}.z").read_bytes()
     assert _sha(blob) == meta["blob_sha256"], "fixture corrupted?"

@@ -1,0 +1,159 @@
+// filters.cpp — native stream filters for the v2 container host stage.
+//
+// The Python/numpy implementations of the IDS4 nibble pack and the byte
+// shuffle cost ~100 ms / ~30 ms per 128 MB on this host (multiple
+// single-threaded passes); these threaded single-pass versions cut that to
+// ~10-20 ms. Loaded via ctypes from dctz_tpu/core/entropy.py with the
+// numpy path as the portable fallback (identical bytes either way).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline int nthreads_for(size_t n) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  size_t per = 1 << 20;
+  size_t want = (n + per - 1) / per;
+  return int(want < hw ? (want ? want : 1) : hw);
+}
+
+template <typename F>
+void parallel_slices(size_t n, size_t align, F body) {
+  int t = nthreads_for(n);
+  std::vector<std::thread> threads;
+  size_t per = ((n / t) / align + 1) * align;
+  for (int i = 0; i < t; ++i) {
+    size_t lo = i * per;
+    if (lo >= n) break;
+    size_t hi = lo + per < n ? lo + per : n;
+    threads.emplace_back(body, lo, hi, i);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: per-slice exception counts so pass 2 can write without locks.
+// ids: n bytes (n even). packed: n/2 bytes out. exc: capacity >= n bytes.
+// Returns the exception count.
+size_t dctz_pack_ids4(const uint8_t* ids, size_t n, uint8_t* packed,
+                      uint8_t* exc) {
+  const int T = nthreads_for(n);
+  std::vector<size_t> counts(T + 1, 0);
+  size_t per = ((n / T) / 2 + 1) * 2;
+
+  {
+    std::vector<std::thread> th;
+    for (int i = 0; i < T; ++i) {
+      size_t lo = size_t(i) * per;
+      if (lo >= n) break;
+      size_t hi = lo + per < n ? lo + per : n;
+      th.emplace_back([&, lo, hi, i] {
+        size_t c = 0;
+        for (size_t j = lo; j < hi; ++j) c += ids[j] > 14;
+        counts[i + 1] = c;
+      });
+    }
+    for (auto& t : th) t.join();
+  }
+  for (int i = 0; i < T; ++i) counts[i + 1] += counts[i];
+
+  {
+    std::vector<std::thread> th;
+    for (int i = 0; i < T; ++i) {
+      size_t lo = size_t(i) * per;
+      if (lo >= n) break;
+      size_t hi = lo + per < n ? lo + per : n;
+      th.emplace_back([&, lo, hi, i] {
+        size_t e = counts[i];
+        for (size_t j = lo; j < hi; j += 2) {
+          uint8_t a = ids[j], b = ids[j + 1];
+          uint8_t na = a > 14 ? 15 : a;
+          uint8_t nb = b > 14 ? 15 : b;
+          packed[j / 2] = uint8_t(na | (nb << 4));
+          if (a > 14) exc[e++] = a;
+          if (b > 14) exc[e++] = b;
+        }
+      });
+    }
+    for (auto& t : th) t.join();
+  }
+  return counts[T];
+}
+
+// packed: n/2 bytes (n even); exc consumed in order; out: n bytes.
+// Returns exceptions consumed.
+size_t dctz_unpack_ids4(const uint8_t* packed, size_t n, const uint8_t* exc,
+                        uint8_t* out) {
+  const int T = nthreads_for(n);
+  std::vector<size_t> counts(T + 1, 0);
+  size_t per = ((n / T) / 2 + 1) * 2;
+
+  {
+    std::vector<std::thread> th;
+    for (int i = 0; i < T; ++i) {
+      size_t lo = size_t(i) * per;
+      if (lo >= n) break;
+      size_t hi = lo + per < n ? lo + per : n;
+      th.emplace_back([&, lo, hi, i] {
+        size_t c = 0;
+        for (size_t j = lo; j < hi; j += 2) {
+          uint8_t p = packed[j / 2];
+          c += (p & 15) == 15;
+          c += (p >> 4) == 15;
+        }
+        counts[i + 1] = c;
+      });
+    }
+    for (auto& t : th) t.join();
+  }
+  for (int i = 0; i < T; ++i) counts[i + 1] += counts[i];
+
+  {
+    std::vector<std::thread> th;
+    for (int i = 0; i < T; ++i) {
+      size_t lo = size_t(i) * per;
+      if (lo >= n) break;
+      size_t hi = lo + per < n ? lo + per : n;
+      th.emplace_back([&, lo, hi, i] {
+        size_t e = counts[i];
+        for (size_t j = lo; j < hi; j += 2) {
+          uint8_t p = packed[j / 2];
+          uint8_t a = p & 15, b = p >> 4;
+          out[j] = a == 15 ? exc[e++] : a;
+          out[j + 1] = b == 15 ? exc[e++] : b;
+        }
+      });
+    }
+    for (auto& t : th) t.join();
+  }
+  return counts[T];
+}
+
+// HDF5-style byte shuffle: n bytes of `itemsize`-byte items -> planes.
+void dctz_shuffle(const uint8_t* in, size_t n, size_t itemsize, uint8_t* out) {
+  size_t items = n / itemsize;
+  parallel_slices(items, 1, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i)
+      for (size_t b = 0; b < itemsize; ++b)
+        out[b * items + i] = in[i * itemsize + b];
+  });
+}
+
+void dctz_unshuffle(const uint8_t* in, size_t n, size_t itemsize,
+                    uint8_t* out) {
+  size_t items = n / itemsize;
+  parallel_slices(items, 1, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i)
+      for (size_t b = 0; b < itemsize; ++b)
+        out[i * itemsize + b] = in[b * items + i];
+  });
+}
+
+}  // extern "C"

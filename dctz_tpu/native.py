@@ -67,6 +67,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int),
         ]
+        # stream filters (filters.cpp)
+        lib.dctz_pack_ids4.restype = ctypes.c_size_t
+        lib.dctz_pack_ids4.argtypes = [ctypes.c_void_p] + [ctypes.c_size_t] + [ctypes.c_void_p] * 2
+        lib.dctz_unpack_ids4.restype = ctypes.c_size_t
+        lib.dctz_unpack_ids4.argtypes = [ctypes.c_void_p, ctypes.c_size_t] + [ctypes.c_void_p] * 2
+        for f in (lib.dctz_shuffle, lib.dctz_unshuffle):
+            f.restype = None
+            f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -122,3 +130,41 @@ def decompress(blob: bytes) -> np.ndarray:
     if rc < 0:
         raise ValueError(f"native decompression failed: {rc}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native stream filters (filters.cpp) — used by core/entropy.py when built.
+# ---------------------------------------------------------------------------
+
+
+def pack_ids4(ids: np.ndarray) -> tuple[bytes, bytes]:
+    lib = _load()
+    n = ids.size
+    assert n % 2 == 0
+    packed = np.empty(n // 2, np.uint8)
+    exc = np.empty(n, np.uint8)
+    cnt = lib.dctz_pack_ids4(
+        ids.ctypes.data, n, packed.ctypes.data, exc.ctypes.data
+    )
+    return packed.tobytes(), exc[:cnt].tobytes()
+
+
+def unpack_ids4(packed: np.ndarray, exc: np.ndarray, n: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(n, np.uint8)
+    lib.dctz_unpack_ids4(packed.ctypes.data, n, exc.ctypes.data, out.ctypes.data)
+    return out
+
+
+def shuffle(data: np.ndarray, itemsize: int) -> bytes:
+    lib = _load()
+    out = np.empty(data.size, np.uint8)
+    lib.dctz_shuffle(data.ctypes.data, data.size, itemsize, out.ctypes.data)
+    return out.tobytes()
+
+
+def unshuffle(data: np.ndarray, itemsize: int) -> bytes:
+    lib = _load()
+    out = np.empty(data.size, np.uint8)
+    lib.dctz_unshuffle(data.ctypes.data, data.size, itemsize, out.ctypes.data)
+    return out.tobytes()

@@ -124,7 +124,7 @@ def bench_jax() -> dict:
         packed, exc = entropy.pack_ids4(flat_ids.tobytes())
         return (
             entropy.chunked_deflate(packed, CFG.chunk_bytes, 1, entropy.HUFFMAN_ONLY),
-            entropy.chunked_deflate(exc, CFG.chunk_bytes, CFG.zlib_level),
+            entropy.chunked_deflate(exc, CFG.chunk_bytes, 1),
             entropy.chunked_deflate(
                 entropy.shuffle_bytes(dc.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
             ),

@@ -218,16 +218,19 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
 def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
     """Deflated section(s) for the bin-index stream: (packed[, exceptions])
     with the IDS4 nibble filter, or the raw stream."""
-    level = cfg.ids_zlib_level or cfg.zlib_level
     if not cfg.ids4:
+        level = cfg.ids_zlib_level or cfg.zlib_level
         return (entropy.chunked_deflate(ids_bytes, cfg.chunk_bytes, level),)
     header.ids4 = True
     packed, exc = entropy.pack_ids4(ids_bytes)
+    # packed nibbles: LZ matches add nothing beyond huffman (measured);
+    # exceptions: level 1 is ~2x faster than 5 for +0.2% of total size.
+    # An explicit ids_zlib_level overrides the exception-stream level.
     return (
         entropy.chunked_deflate(
             packed, cfg.chunk_bytes, 1, entropy.HUFFMAN_ONLY
         ),
-        entropy.chunked_deflate(exc, cfg.chunk_bytes, level),
+        entropy.chunked_deflate(exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1),
     )
 
 

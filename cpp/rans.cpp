@@ -1,0 +1,283 @@
+// rans.cpp — static order-0 byte rANS codec for v2 container streams.
+//
+// zlib's huffman-only mode tops out ~100 MB/s/core on the nibble-packed
+// bin-index stream; a static rANS with per-chunk frequency tables reaches
+// several hundred MB/s/core at equal-or-better ratio (fractional-bit codes
+// vs whole-bit huffman). Used for the IDS4 packed + exception streams when
+// the native library is present (container flag records the codec; zlib
+// remains the portable fallback).
+//
+// Blob layout:
+//   u32 n_chunks
+//   per chunk: u32 raw_len | u32 enc_len | u16 freq[256] | u32 final_state
+//              | enc_len bytes (rANS byte stream, decoder reads forward)
+//
+// Standard rans_byte construction (32-bit state, byte renormalization,
+// 12-bit probabilities), chunks encoded in parallel threads.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kProbBits = 12;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;
+constexpr size_t kChunk = 1u << 20;
+
+struct Freqs {
+  uint16_t freq[256];
+  uint32_t cum[257];
+};
+
+void build_freqs(const uint8_t* data, size_t n, Freqs& f) {
+  uint64_t counts[256] = {0};
+  for (size_t i = 0; i < n; ++i) counts[data[i]]++;
+  // normalize to kProbScale with every present symbol >= 1
+  uint64_t total = n;
+  uint32_t assigned = 0;
+  int last_present = -1;
+  for (int s = 0; s < 256; ++s) {
+    if (!counts[s]) {
+      f.freq[s] = 0;
+      continue;
+    }
+    uint64_t scaled = (counts[s] * kProbScale) / total;
+    if (scaled == 0) scaled = 1;
+    f.freq[s] = uint16_t(scaled);
+    assigned += scaled;
+    last_present = s;
+  }
+  // fix rounding drift: positive drift goes to the most frequent symbol;
+  // negative drift (many rare symbols bumped to freq 1) is stolen one unit
+  // at a time from the currently-largest freq, which keeps every present
+  // symbol >= 1
+  (void)last_present;
+  int32_t delta = int32_t(kProbScale) - int32_t(assigned);
+  while (delta != 0) {
+    int big = 0;
+    for (int s = 1; s < 256; ++s)
+      if (f.freq[s] > f.freq[big]) big = s;
+    if (delta > 0) {
+      int32_t add = delta;
+      f.freq[big] = uint16_t(f.freq[big] + add);
+      delta = 0;
+    } else {
+      int32_t take = -delta;
+      int32_t avail = int32_t(f.freq[big]) - 1;
+      if (take > avail) take = avail;
+      f.freq[big] = uint16_t(f.freq[big] - take);
+      delta += take;
+    }
+  }
+  f.cum[0] = 0;
+  for (int s = 0; s < 256; ++s) f.cum[s + 1] = f.cum[s] + f.freq[s];
+}
+
+// returns encoded size; out must hold raw_len + 64 bytes of slack
+size_t encode_chunk(const uint8_t* data, size_t n, const Freqs& f,
+                    uint8_t* out, size_t out_cap, uint32_t* final_state) {
+  // Division-free encode: q = floor(x/freq) via the exact ceil-reciprocal
+  // (Granlund-Montgomery): with s = ceil(log2(freq)) and
+  // rcp = ceil(2^(31+s)/freq), q == (x*rcp) >> (31+s) for all x < 2^31
+  // (the state stays < 2^31 by the renormalization bound). The transition
+  // x' = (q << 12) + (x - q*freq) + cum == x + cum + q*(4096 - freq).
+  uint32_t rcp[256];
+  uint8_t sh[256];
+  uint32_t xmax[256];
+  uint32_t cmpl[256];
+  for (int s = 0; s < 256; ++s) {
+    uint32_t freq = f.freq[s];
+    if (!freq) continue;
+    uint32_t bits = 0;
+    while (freq > (1u << bits)) ++bits;  // freq <= 2^bits
+    uint64_t num = 1ull << (31 + bits);
+    rcp[s] = uint32_t((num + freq - 1) / freq);
+    sh[s] = uint8_t(31 + bits);
+    xmax[s] = ((kRansL >> kProbBits) << 8) * freq;
+    cmpl[s] = kProbScale - freq;
+  }
+  uint8_t* end = out + out_cap;
+  uint8_t* p = end;  // write backwards
+  uint32_t state = kRansL;
+  for (size_t i = n; i-- > 0;) {
+    uint8_t s = data[i];
+    while (state >= xmax[s]) {
+      *--p = uint8_t(state & 0xFF);
+      state >>= 8;
+    }
+    uint32_t q = uint32_t((uint64_t(state) * rcp[s]) >> sh[s]);
+    state = state + f.cum[s] + q * cmpl[s];
+  }
+  *final_state = state;
+  size_t enc_len = size_t(end - p);
+  std::memmove(out, p, enc_len);
+  return enc_len;
+}
+
+void decode_chunk(const uint8_t* enc, size_t enc_len, const Freqs& f,
+                  uint32_t state, uint8_t* out, size_t n) {
+  // 4 KiB slot->symbol lookup
+  std::vector<uint8_t> slot2sym(kProbScale);
+  for (int s = 0; s < 256; ++s)
+    for (uint32_t i = f.cum[s]; i < f.cum[s + 1]; ++i) slot2sym[i] = uint8_t(s);
+  const uint8_t* p = enc;
+  const uint8_t* pe = enc + enc_len;
+  for (size_t i = 0; i < n; ++i) {
+    uint32_t slot = state & (kProbScale - 1);
+    uint8_t s = slot2sym[slot];
+    out[i] = s;
+    state = uint32_t(f.freq[s]) * (state >> kProbBits) + slot - f.cum[s];
+    while (state < kRansL && p < pe) state = (state << 8) | *p++;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress n bytes; out capacity must be >= rans_bound(n). Returns size.
+size_t dctz_rans_bound(size_t n) {
+  size_t chunks = (n + kChunk - 1) / kChunk;
+  if (!chunks) chunks = 1;
+  return 4 + chunks * (4 + 4 + 512 + 4 + kChunk + kChunk / 16 + 64);
+}
+
+size_t dctz_rans_compress(const uint8_t* data, size_t n, uint8_t* out,
+                          size_t out_cap) {
+  size_t n_chunks = (n + kChunk - 1) / kChunk;
+  struct Enc {
+    Freqs f;
+    std::vector<uint8_t> buf;
+    size_t enc_len;
+    uint32_t state;
+    size_t raw_len;
+  };
+  std::vector<Enc> encs(n_chunks);
+
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  std::vector<std::thread> threads;
+  std::vector<size_t> next(1, 0);
+  for (unsigned t = 0; t < hw && t < n_chunks; ++t) {
+    threads.emplace_back([&, t] {
+      for (size_t c = t; c < n_chunks; c += hw) {
+        const uint8_t* src = data + c * kChunk;
+        size_t len = (c + 1) * kChunk <= n ? kChunk : n - c * kChunk;
+        Enc& e = encs[c];
+        e.raw_len = len;
+        build_freqs(src, len, e.f);
+        e.buf.resize(len + len / 8 + 128);
+        e.enc_len = encode_chunk(src, len, e.f, e.buf.data(), e.buf.size(),
+                                 &e.state);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  uint8_t* p = out;
+  uint8_t* pend = out + out_cap;
+  auto put32 = [&](uint32_t v) {
+    std::memcpy(p, &v, 4);
+    p += 4;
+  };
+  if (p + 4 > pend) return 0;
+  put32(uint32_t(n_chunks));
+  for (auto& e : encs) {
+    if (p + 12 + 512 + e.enc_len > pend) return 0;
+    put32(uint32_t(e.raw_len));
+    put32(uint32_t(e.enc_len));
+    std::memcpy(p, e.f.freq, 512);
+    p += 512;
+    put32(e.state);
+    std::memcpy(p, e.buf.data(), e.enc_len);
+    p += e.enc_len;
+  }
+  return size_t(p - out);
+}
+
+// Decompress into out (capacity out_cap); returns decoded size or 0.
+size_t dctz_rans_decompress(const uint8_t* blob, size_t blob_len, uint8_t* out,
+                            size_t out_cap) {
+  if (blob_len < 4) return 0;
+  const uint8_t* p = blob;
+  const uint8_t* pend = blob + blob_len;
+  auto get32 = [&](uint32_t* v) {
+    std::memcpy(v, p, 4);
+    p += 4;
+  };
+  uint32_t n_chunks;
+  get32(&n_chunks);
+
+  struct Dec {
+    const uint8_t* enc;
+    size_t enc_len;
+    Freqs f;
+    uint32_t state;
+    size_t raw_len;
+    size_t out_off;
+  };
+  std::vector<Dec> decs(n_chunks);
+  size_t off = 0;
+  for (uint32_t c = 0; c < n_chunks; ++c) {
+    if (p + 12 + 512 > pend) return 0;
+    Dec& d = decs[c];
+    uint32_t raw_len, enc_len;
+    get32(&raw_len);
+    get32(&enc_len);
+    std::memcpy(d.f.freq, p, 512);
+    p += 512;
+    get32(&d.state);
+    d.f.cum[0] = 0;
+    for (int s = 0; s < 256; ++s) d.f.cum[s + 1] = d.f.cum[s] + d.f.freq[s];
+    if (d.f.cum[256] != kProbScale) return 0;
+    d.raw_len = raw_len;
+    d.enc_len = enc_len;
+    d.enc = p;
+    if (p + enc_len > pend) return 0;
+    p += enc_len;
+    d.out_off = off;
+    off += raw_len;
+    if (off > out_cap) return 0;
+  }
+
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < hw && t < n_chunks; ++t) {
+    threads.emplace_back([&, t] {
+      for (size_t c = t; c < n_chunks; c += hw) {
+        Dec& d = decs[c];
+        decode_chunk(d.enc, d.enc_len, d.f, d.state, out + d.out_off,
+                     d.raw_len);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return off;
+}
+
+}  // extern "C"
+
+extern "C" size_t dctz_rans_raw_size(const uint8_t* blob, size_t blob_len) {
+  // Total decoded size of a rANS blob (sums the per-chunk raw lengths).
+  if (blob_len < 4) return size_t(-1);
+  const uint8_t* p = blob;
+  const uint8_t* pend = blob + blob_len;
+  uint32_t n_chunks;
+  std::memcpy(&n_chunks, p, 4);
+  p += 4;
+  size_t total = 0;
+  for (uint32_t c = 0; c < n_chunks; ++c) {
+    if (p + 12 + 512 > pend) return size_t(-1);
+    uint32_t raw_len, enc_len;
+    std::memcpy(&raw_len, p, 4);
+    std::memcpy(&enc_len, p + 4, 4);
+    p += 12 + 512 + enc_len;
+    if (p > pend) return size_t(-1);
+    total += raw_len;
+  }
+  return total;
+}

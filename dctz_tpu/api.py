@@ -223,6 +223,18 @@ def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
         return (entropy.chunked_deflate(ids_bytes, cfg.chunk_bytes, level),)
     header.ids4 = True
     packed, exc = entropy.pack_ids4(ids_bytes)
+    from . import native
+
+    if cfg.ids_codec == "rans" or (
+        cfg.ids_codec == "auto" and native.available()
+    ):
+        # native static rANS: ~480 MB/s at equal-or-better ratio than
+        # zlib-huffman; each section is one self-describing blob
+        header.rans = True
+        return (
+            [native.rans_compress(packed)],
+            [native.rans_compress(exc)],
+        )
     # packed nibbles: LZ matches add nothing beyond huffman (measured);
     # exceptions: level 1 is ~2x faster than 5 for +0.2% of total size.
     # An explicit ids_zlib_level overrides the exception-stream level.
@@ -238,8 +250,14 @@ def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes
     """Inflate + de-filter a v2 container's sections -> (bindex, dc, ac)."""
     if header.ids4:
         packed_z, exc_z, dz, az = streams
-        packed = entropy.chunked_inflate(packed_z)
-        exc = entropy.chunked_inflate(exc_z)
+        if header.rans:
+            from . import native
+
+            packed = native.rans_decompress(b"".join(packed_z))
+            exc = native.rans_decompress(b"".join(exc_z))
+        else:
+            packed = entropy.chunked_inflate(packed_z)
+            exc = entropy.chunked_inflate(exc_z)
         # the original stream length is self-describing: exceptions hold one
         # byte per 15-nibble plus the odd tail byte (if any)
         p = np.frombuffer(packed, np.uint8)

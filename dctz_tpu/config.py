@@ -39,6 +39,10 @@ class CodecConfig:
         bits, the rest escape to an exception byte stream. Measured: ~13%
         smaller ids section AND ~4x faster deflate (HUFFMAN_ONLY suffices
         on the packed stream).
+      ids_codec: entropy codec for the ids4 sections. "auto" uses the
+        native static rANS (cpp/rans.cpp, ~480 MB/s at equal-or-better
+        ratio than zlib-huffman) when the native library is built, else
+        deflate. Only applies when ids4 is enabled.
       container: "v1" emits the reference-compatible single-segment container
         (56-byte C struct header, dctz.h:96-119); "v2" emits the chunked
         TPU-native container that supports parallel entropy coding and
@@ -67,6 +71,7 @@ class CodecConfig:
     container: Literal["v1", "v2"] = "v1"
     shuffle: bool = True
     ids4: bool = True
+    ids_codec: Literal["auto", "deflate", "rans"] = "auto"
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
 

@@ -69,6 +69,7 @@ class Header:
     truncate: bool = True
     shuffle: bool = False  # v2: DC/AC streams byte-shuffled before deflate
     ids4: bool = False  # v2: bin-index stream nibble-packed + exception stream
+    rans: bool = False  # v2: ids sections rANS-coded (native codec)
 
     @property
     def nblk(self) -> int:
@@ -192,6 +193,7 @@ _FLAG_TRUNCATE = 1 << 1
 _FLAG_F64 = 1 << 2
 _FLAG_SHUFFLE = 1 << 3  # DC/AC streams byte-shuffled before deflate
 _FLAG_IDS4 = 1 << 4  # bin-index stream nibble-packed (4th section = exceptions)
+_FLAG_RANS = 1 << 5  # ids sections use the native rANS codec, not deflate
 
 
 def pack_v2(
@@ -218,6 +220,8 @@ def pack_v2(
         flags |= _FLAG_IDS4
         if len(streams_z) != 4:
             raise ValueError("ids4 container needs 4 stream sections")
+    if header.rans:
+        flags |= _FLAG_RANS
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -312,6 +316,7 @@ def parse_v2(
         truncate=bool(flags & _FLAG_TRUNCATE),
         shuffle=bool(flags & _FLAG_SHUFFLE),
         ids4=bool(flags & _FLAG_IDS4),
+        rans=bool(flags & _FLAG_RANS),
     )
     return header, tuple(streams), qtable, chunk_bytes
 

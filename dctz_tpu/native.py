@@ -75,6 +75,15 @@ def _load() -> ctypes.CDLL | None:
         for f in (lib.dctz_shuffle, lib.dctz_unshuffle):
             f.restype = None
             f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        # rANS codec (rans.cpp)
+        lib.dctz_rans_bound.restype = ctypes.c_size_t
+        lib.dctz_rans_bound.argtypes = [ctypes.c_size_t]
+        lib.dctz_rans_compress.restype = ctypes.c_size_t
+        lib.dctz_rans_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+        lib.dctz_rans_decompress.restype = ctypes.c_size_t
+        lib.dctz_rans_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+        lib.dctz_rans_raw_size.restype = ctypes.c_size_t
+        lib.dctz_rans_raw_size.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
         _lib = lib
         return _lib
 
@@ -168,3 +177,30 @@ def unshuffle(data: np.ndarray, itemsize: int) -> bytes:
     out = np.empty(data.size, np.uint8)
     lib.dctz_unshuffle(data.ctypes.data, data.size, itemsize, out.ctypes.data)
     return out.tobytes()
+
+
+def rans_compress(data: bytes) -> bytes:
+    """Static order-0 byte rANS (threaded, ~480 MB/s) — see cpp/rans.cpp."""
+    lib = _load()
+    d = np.frombuffer(data, np.uint8)
+    cap = lib.dctz_rans_bound(d.size)
+    out = np.empty(cap, np.uint8)
+    sz = lib.dctz_rans_compress(
+        d.ctypes.data if d.size else None, d.size, out.ctypes.data, cap
+    )
+    if sz == 0 and d.size:
+        raise RuntimeError("rans compression failed")
+    return out[:sz].tobytes()
+
+
+def rans_decompress(blob: bytes) -> bytes:
+    lib = _load()
+    b = np.frombuffer(blob, np.uint8)
+    n = lib.dctz_rans_raw_size(b.ctypes.data, b.size)
+    if n == ctypes.c_size_t(-1).value:
+        raise ValueError("corrupt rans blob")
+    out = np.empty(max(n, 1), np.uint8)
+    sz = lib.dctz_rans_decompress(b.ctypes.data, b.size, out.ctypes.data, n)
+    if sz != n:
+        raise ValueError("rans decode mismatch")
+    return out[:n].tobytes()

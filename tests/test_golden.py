@@ -43,11 +43,26 @@ def test_decode_golden_container(name):
     [
         ("golden_v1_ec_f64", dict(mode="ec", container="v1")),
         ("golden_v1_qt_f64", dict(mode="qt", container="v1")),
-        ("golden_v2_ec_f32", dict(mode="ec", container="v2", chunk_bytes=2048)),
-        ("golden_v2_qt_f32", dict(mode="qt", container="v2", chunk_bytes=2048)),
+        (
+            "golden_v2_ec_f32",
+            dict(mode="ec", container="v2", chunk_bytes=2048, ids_codec="deflate"),
+        ),
+        (
+            "golden_v2_qt_f32",
+            dict(mode="qt", container="v2", chunk_bytes=2048, ids_codec="deflate"),
+        ),
+        (
+            "golden_v2_ec_f32_rans",
+            dict(mode="ec", container="v2", chunk_bytes=2048, ids_codec="rans"),
+        ),
     ],
 )
 def test_reencode_matches_golden(name, cfgkw):
+    if cfgkw.get("ids_codec") == "rans":
+        from dctz_tpu import native
+
+        if not native.available():
+            pytest.skip("native rANS codec not built")
     x = np.fromfile(GOLDEN / "golden_input_f64.bin", np.float64)
     if MANIFEST[name]["dtype"] == "float32":
         x = x.astype(np.float32)

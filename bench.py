@@ -120,11 +120,20 @@ def bench_jax() -> dict:
 
     # ---- compress: host entropy stage (ids4 pack + shuffle + deflate) ----
     # best-of-3: host timings on this machine suffer 2-4x external noise
+    from dctz_tpu import native as nat
+
+    use_rans = nat.available()
+
     def host_compress():
         packed, exc = entropy.pack_ids4(flat_ids.tobytes())
+        if use_rans:
+            s0 = [nat.rans_compress(packed)]
+        else:
+            s0 = entropy.chunked_deflate(packed, CFG.chunk_bytes, 1, entropy.HUFFMAN_ONLY)
+        s1 = entropy.chunked_deflate(exc, CFG.chunk_bytes, 1)
         return (
-            entropy.chunked_deflate(packed, CFG.chunk_bytes, 1, entropy.HUFFMAN_ONLY),
-            entropy.chunked_deflate(exc, CFG.chunk_bytes, 1),
+            s0,
+            s1,
             entropy.chunked_deflate(
                 entropy.shuffle_bytes(dc.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
             ),
@@ -143,14 +152,15 @@ def bench_jax() -> dict:
     # ---- decompress: host inflate + re-chunk (best-of-3) ----
     t_host_d = float("inf")
     t0 = time.perf_counter()
-    ids_i = np.frombuffer(
-        entropy.unpack_ids4(
-            entropy.chunked_inflate(streams[0]),
-            entropy.chunked_inflate(streams[1]),
-            N,
-        ),
-        np.uint8,
-    )
+    def ids_inflate():
+        p = (
+            nat.rans_decompress(streams[0][0])
+            if use_rans
+            else entropy.chunked_inflate(streams[0])
+        )
+        return entropy.unpack_ids4(p, entropy.chunked_inflate(streams[1]), N)
+
+    ids_i = np.frombuffer(ids_inflate(), np.uint8)
     dc_i = np.frombuffer(
         entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4), np.float32
     )
@@ -168,11 +178,7 @@ def bench_jax() -> dict:
     t_host_d = min(t_host_d, time.perf_counter() - t0)
     for _ in range(2):
         t0 = time.perf_counter()
-        entropy.unpack_ids4(
-            entropy.chunked_inflate(streams[0]),
-            entropy.chunked_inflate(streams[1]),
-            N,
-        )
+        ids_inflate()
         entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4)
         entropy.unshuffle_bytes(entropy.chunked_inflate(streams[3]), 4)
         _chunk_escape_counts(ids_i, cw, 64)

@@ -228,12 +228,15 @@ def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
     if cfg.ids_codec == "rans" or (
         cfg.ids_codec == "auto" and native.available()
     ):
-        # native static rANS: ~480 MB/s at equal-or-better ratio than
-        # zlib-huffman; each section is one self-describing blob
+        # native static rANS on the packed nibbles (~480 MB/s at better
+        # ratio than zlib-huffman); exceptions keep deflate — their long
+        # escape-runs (255s) favor LZ matches over order-0 coding
         header.rans = True
         return (
             [native.rans_compress(packed)],
-            [native.rans_compress(exc)],
+            entropy.chunked_deflate(
+                exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1
+            ),
         )
     # packed nibbles: LZ matches add nothing beyond huffman (measured);
     # exceptions: level 1 is ~2x faster than 5 for +0.2% of total size.
@@ -254,10 +257,9 @@ def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes
             from . import native
 
             packed = native.rans_decompress(b"".join(packed_z))
-            exc = native.rans_decompress(b"".join(exc_z))
         else:
             packed = entropy.chunked_inflate(packed_z)
-            exc = entropy.chunked_inflate(exc_z)
+        exc = entropy.chunked_inflate(exc_z)
         # the original stream length is self-describing: exceptions hold one
         # byte per 15-nibble plus the odd tail byte (if any)
         p = np.frombuffer(packed, np.uint8)

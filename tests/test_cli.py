@@ -68,6 +68,18 @@ def test_float_flag(tmp_path):
     assert rc == 0
 
 
+def test_sharded_engine(tmp_path):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    x = (np.sin(np.linspace(0, 20, 64 * 64)) * 7).astype(np.float32)
+    path = tmp_path / "s.bin"
+    x.tofile(path)
+    rc = main(["-f", "1E-3", "v", str(path), str(x.size), "--sharded", "--no-write"])
+    assert rc == 0
+
+
 def test_native_engine(tmp_path):
     from dctz_tpu import native
 

@@ -14,7 +14,7 @@ Quick start:
     y = dctz_tpu.decompress(blob)
 """
 
-from .api import compress, decompress
+from .api import compress, compress_sharded, decompress, decompress_sharded
 from .config import CodecConfig
 from .core.constants import BLK_SZ, NBINS, VERSION
 from .utils.metrics import evaluate
@@ -24,6 +24,8 @@ __version__ = VERSION
 __all__ = [
     "compress",
     "decompress",
+    "compress_sharded",
+    "decompress_sharded",
     "CodecConfig",
     "evaluate",
     "BLK_SZ",

@@ -423,6 +423,13 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
     """Decompress a container (either format) back to a flat numpy array.
 
     Equivalent to dctz_decompress (dctz-decomp-lib.c:51)."""
+    if bytes(memoryview(blob)[:4]) == b"DTZS":
+        # segmented stream container (stream.py)
+        import io
+
+        from . import stream as _stream
+
+        return _stream.decompress_stream_all(io.BytesIO(bytes(blob)))
     if ct.detect_format(blob) == "v2":
         header, streams, qtable, _cb = ct.parse_v2(blob)
         bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)

@@ -95,35 +95,51 @@ def compress_stream(
     out.write(_HDR.pack(MAGIC, 1, 0, n))
     written += _HDR.size
 
-    for seg in _segments(x, segment_elems):
-        blob = _compress_segment(seg, sf, mean, cfg)
+    # Two-stage software pipeline: the device encodes segment k while the
+    # host entropy-codes segment k-1 (device dispatches are async; the
+    # blocking device_get lives in the host worker). Depth 2 bounds device
+    # memory to two in-flight segments.
+    import concurrent.futures
+
+    from .api import _device_cfg
+
+    def write_frame(blob: bytes) -> int:
         out.write(_FRAME.pack(len(blob)))
         out.write(blob)
-        written += _FRAME.size + len(blob)
+        return _FRAME.size + len(blob)
+
+    with concurrent.futures.ThreadPoolExecutor(1) as host_worker:
+        pending = None
+        for seg in _segments(x, segment_elems):
+            q = _encode_segment(
+                jnp.asarray(seg),
+                jnp.asarray(np.asarray(sf, seg.dtype)),
+                seg.shape[0],
+                _device_cfg(cfg),
+            )
+            if pending is not None:
+                written += write_frame(pending.result())
+            pending = host_worker.submit(
+                _pack_segment, q, seg.shape[0], np.dtype(seg.dtype), sf, mean, cfg
+            )
+        written += write_frame(pending.result())
     out.write(_FRAME.pack(0))
     return written + _FRAME.size
 
 
-def _compress_segment(
-    seg: np.ndarray, sf: float, mean: float, cfg: CodecConfig
+def _pack_segment(
+    q, n: int, dtype: np.dtype, sf: float, mean: float, cfg: CodecConfig
 ) -> bytes:
-    from .api import _assemble_ac
+    """Host stage of one segment: pull device results, entropy-code, pack
+    (same filters/codecs as the monolithic v2 path)."""
+    from .api import _assemble_ac, _ids_streams
 
-    n = seg.shape[0]
-    from .api import _device_cfg
-
-    q = _encode_segment(
-        jnp.asarray(seg),
-        jnp.asarray(np.asarray(sf, seg.dtype)),
-        n,
-        _device_cfg(cfg),
-    )
     ac, bin_ids, ac_count = _assemble_ac(q)
     dc = np.asarray(jax.device_get(q.dc))
     qtable = np.asarray(jax.device_get(q.qtable)) if q.qtable is not None else None
 
     header = ct.Header(
-        dtype=np.dtype(seg.dtype),
+        dtype=dtype,
         num_elements=n,
         error_bound=cfg.error_bound,
         ac_count=ac_count,
@@ -143,9 +159,9 @@ def _compress_segment(
     if cfg.shuffle:
         dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
         acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
-    streams = tuple(
-        entropy.chunked_deflate(buf, cfg.chunk_bytes, cfg.zlib_level)
-        for buf in (flat_ids.tobytes(), dcb, acb)
+    streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
+        entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
     )
     return ct.pack_v2(
         header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes

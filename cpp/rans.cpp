@@ -7,13 +7,18 @@
 // the native library is present (container flag records the codec; zlib
 // remains the portable fallback).
 //
-// Blob layout:
-//   u32 n_chunks
-//   per chunk: u32 raw_len | u32 enc_len | u16 freq[256] | u32 final_state
-//              | enc_len bytes (rANS byte stream, decoder reads forward)
+// Blob layout (version 2, sentinel-tagged):
+//   u32 0xFFFFFFFF | u32 n_chunks
+//   per chunk: u32 raw_len | u32 enc_len | u16 freq[256]
+//              | u32 state_a | u32 state_b
+//              | enc_len bytes (decoder reads forward)
+// Legacy layout (no sentinel): u32 n_chunks, single final_state per chunk
+// (still decodable — committed golden fixtures use it).
 //
 // Standard rans_byte construction (32-bit state, byte renormalization,
-// 12-bit probabilities), chunks encoded in parallel threads.
+// 12-bit probabilities). Two interleaved states per chunk (even/odd
+// symbol indices) double the encode/decode dependency-chain parallelism;
+// chunks additionally run on parallel threads.
 
 #include <cstdint>
 #include <cstring>
@@ -78,7 +83,7 @@ void build_freqs(const uint8_t* data, size_t n, Freqs& f) {
 
 // returns encoded size; out must hold raw_len + 64 bytes of slack
 size_t encode_chunk(const uint8_t* data, size_t n, const Freqs& f,
-                    uint8_t* out, size_t out_cap, uint32_t* final_state) {
+                    uint8_t* out, size_t out_cap, uint32_t final_state[2]) {
   // Division-free encode: q = floor(x/freq) via the exact ceil-reciprocal
   // (Granlund-Montgomery): with s = ceil(log2(freq)) and
   // rcp = ceil(2^(31+s)/freq), q == (x*rcp) >> (31+s) for all x < 2^31
@@ -101,37 +106,66 @@ size_t encode_chunk(const uint8_t* data, size_t n, const Freqs& f,
   }
   uint8_t* end = out + out_cap;
   uint8_t* p = end;  // write backwards
-  uint32_t state = kRansL;
-  for (size_t i = n; i-- > 0;) {
-    uint8_t s = data[i];
-    while (state >= xmax[s]) {
-      *--p = uint8_t(state & 0xFF);
-      state >>= 8;
+  // two interleaved states: even indices -> a, odd -> b; encoded in
+  // reverse symbol order so the forward decoder mirrors it exactly. The
+  // pair-per-iteration body keeps the two dependency chains visibly
+  // independent for out-of-order execution.
+  uint32_t sa = kRansL, sb = kRansL;
+  auto enc_step = [&](uint32_t st, uint8_t s) {
+    while (st >= xmax[s]) {
+      *--p = uint8_t(st & 0xFF);
+      st >>= 8;
     }
-    uint32_t q = uint32_t((uint64_t(state) * rcp[s]) >> sh[s]);
-    state = state + f.cum[s] + q * cmpl[s];
+    uint32_t q = uint32_t((uint64_t(st) * rcp[s]) >> sh[s]);
+    return st + f.cum[s] + q * cmpl[s];
+  };
+  size_t i = n;
+  if (i & 1) {  // odd tail index is even-parity? n odd => last index n-1 even
+    --i;
+    sa = enc_step(sa, data[i]);
   }
-  *final_state = state;
+  while (i >= 2) {
+    sb = enc_step(sb, data[i - 1]);
+    sa = enc_step(sa, data[i - 2]);
+    i -= 2;
+  }
+  final_state[0] = sa;
+  final_state[1] = sb;
   size_t enc_len = size_t(end - p);
   std::memmove(out, p, enc_len);
   return enc_len;
 }
 
 void decode_chunk(const uint8_t* enc, size_t enc_len, const Freqs& f,
-                  uint32_t state, uint8_t* out, size_t n) {
+                  uint32_t state_a, uint32_t state_b, bool interleaved,
+                  uint8_t* out, size_t n) {
   // 4 KiB slot->symbol lookup
   std::vector<uint8_t> slot2sym(kProbScale);
   for (int s = 0; s < 256; ++s)
     for (uint32_t i = f.cum[s]; i < f.cum[s + 1]; ++i) slot2sym[i] = uint8_t(s);
   const uint8_t* p = enc;
   const uint8_t* pe = enc + enc_len;
-  for (size_t i = 0; i < n; ++i) {
-    uint32_t slot = state & (kProbScale - 1);
+  auto dec_step = [&](uint32_t st, size_t i) {
+    uint32_t slot = st & (kProbScale - 1);
     uint8_t s = slot2sym[slot];
     out[i] = s;
-    state = uint32_t(f.freq[s]) * (state >> kProbBits) + slot - f.cum[s];
-    while (state < kRansL && p < pe) state = (state << 8) | *p++;
+    st = uint32_t(f.freq[s]) * (st >> kProbBits) + slot - f.cum[s];
+    while (st < kRansL && p < pe) st = (st << 8) | *p++;
+    return st;
+  };
+  if (!interleaved) {  // legacy single-state blobs
+    uint32_t st = state_a;
+    for (size_t i = 0; i < n; ++i) st = dec_step(st, i);
+    return;
   }
+  uint32_t sa = state_a, sb = state_b;
+  size_t i = 0;
+  while (i + 2 <= n) {
+    sa = dec_step(sa, i);
+    sb = dec_step(sb, i + 1);
+    i += 2;
+  }
+  if (i < n) sa = dec_step(sa, i);
 }
 
 }  // namespace
@@ -142,7 +176,7 @@ extern "C" {
 size_t dctz_rans_bound(size_t n) {
   size_t chunks = (n + kChunk - 1) / kChunk;
   if (!chunks) chunks = 1;
-  return 4 + chunks * (4 + 4 + 512 + 4 + kChunk + kChunk / 16 + 64);
+  return 8 + chunks * (4 + 4 + 512 + 8 + kChunk + kChunk / 16 + 64);
 }
 
 size_t dctz_rans_compress(const uint8_t* data, size_t n, uint8_t* out,
@@ -152,7 +186,7 @@ size_t dctz_rans_compress(const uint8_t* data, size_t n, uint8_t* out,
     Freqs f;
     std::vector<uint8_t> buf;
     size_t enc_len;
-    uint32_t state;
+    uint32_t state[2];
     size_t raw_len;
   };
   std::vector<Enc> encs(n_chunks);
@@ -171,7 +205,7 @@ size_t dctz_rans_compress(const uint8_t* data, size_t n, uint8_t* out,
         build_freqs(src, len, e.f);
         e.buf.resize(len + len / 8 + 128);
         e.enc_len = encode_chunk(src, len, e.f, e.buf.data(), e.buf.size(),
-                                 &e.state);
+                                 e.state);
       }
     });
   }
@@ -183,15 +217,17 @@ size_t dctz_rans_compress(const uint8_t* data, size_t n, uint8_t* out,
     std::memcpy(p, &v, 4);
     p += 4;
   };
-  if (p + 4 > pend) return 0;
+  if (p + 8 > pend) return 0;
+  put32(0xFFFFFFFFu);  // version-2 sentinel (interleaved states)
   put32(uint32_t(n_chunks));
   for (auto& e : encs) {
-    if (p + 12 + 512 + e.enc_len > pend) return 0;
+    if (p + 16 + 512 + e.enc_len > pend) return 0;
     put32(uint32_t(e.raw_len));
     put32(uint32_t(e.enc_len));
     std::memcpy(p, e.f.freq, 512);
     p += 512;
-    put32(e.state);
+    put32(e.state[0]);
+    put32(e.state[1]);
     std::memcpy(p, e.buf.data(), e.enc_len);
     p += e.enc_len;
   }
@@ -210,26 +246,35 @@ size_t dctz_rans_decompress(const uint8_t* blob, size_t blob_len, uint8_t* out,
   };
   uint32_t n_chunks;
   get32(&n_chunks);
+  bool interleaved = false;
+  if (n_chunks == 0xFFFFFFFFu) {
+    interleaved = true;
+    if (p + 4 > pend) return 0;
+    get32(&n_chunks);
+  }
 
   struct Dec {
     const uint8_t* enc;
     size_t enc_len;
     Freqs f;
-    uint32_t state;
+    uint32_t state_a;
+    uint32_t state_b;
     size_t raw_len;
     size_t out_off;
   };
   std::vector<Dec> decs(n_chunks);
   size_t off = 0;
   for (uint32_t c = 0; c < n_chunks; ++c) {
-    if (p + 12 + 512 > pend) return 0;
+    if (p + (interleaved ? 16 : 12) + 512 > pend) return 0;
     Dec& d = decs[c];
     uint32_t raw_len, enc_len;
     get32(&raw_len);
     get32(&enc_len);
     std::memcpy(d.f.freq, p, 512);
     p += 512;
-    get32(&d.state);
+    get32(&d.state_a);
+    d.state_b = 0;
+    if (interleaved) get32(&d.state_b);
     d.f.cum[0] = 0;
     for (int s = 0; s < 256; ++s) d.f.cum[s + 1] = d.f.cum[s] + d.f.freq[s];
     if (d.f.cum[256] != kProbScale) return 0;
@@ -250,8 +295,8 @@ size_t dctz_rans_decompress(const uint8_t* blob, size_t blob_len, uint8_t* out,
     threads.emplace_back([&, t] {
       for (size_t c = t; c < n_chunks; c += hw) {
         Dec& d = decs[c];
-        decode_chunk(d.enc, d.enc_len, d.f, d.state, out + d.out_off,
-                     d.raw_len);
+        decode_chunk(d.enc, d.enc_len, d.f, d.state_a, d.state_b, interleaved,
+                     out + d.out_off, d.raw_len);
       }
     });
   }
@@ -269,13 +314,20 @@ extern "C" size_t dctz_rans_raw_size(const uint8_t* blob, size_t blob_len) {
   uint32_t n_chunks;
   std::memcpy(&n_chunks, p, 4);
   p += 4;
+  size_t hdr = 12;
+  if (n_chunks == 0xFFFFFFFFu) {
+    if (p + 4 > pend) return size_t(-1);
+    std::memcpy(&n_chunks, p, 4);
+    p += 4;
+    hdr = 16;
+  }
   size_t total = 0;
   for (uint32_t c = 0; c < n_chunks; ++c) {
-    if (p + 12 + 512 > pend) return size_t(-1);
+    if (p + hdr + 512 > pend) return size_t(-1);
     uint32_t raw_len, enc_len;
     std::memcpy(&raw_len, p, 4);
     std::memcpy(&enc_len, p + 4, 4);
-    p += 12 + 512 + enc_len;
+    p += hdr + 512 + enc_len;
     if (p > pend) return size_t(-1);
     total += raw_len;
   }

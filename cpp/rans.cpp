@@ -194,7 +194,6 @@ size_t dctz_rans_compress(const uint8_t* data, size_t n, uint8_t* out,
   unsigned hw = std::thread::hardware_concurrency();
   if (hw == 0) hw = 1;
   std::vector<std::thread> threads;
-  std::vector<size_t> next(1, 0);
   for (unsigned t = 0; t < hw && t < n_chunks; ++t) {
     threads.emplace_back([&, t] {
       for (size_t c = t; c < n_chunks; c += hw) {

@@ -116,3 +116,27 @@ def test_reported_header_metadata():
     # sf = 10**(ceil(log10(max|x|)) - 1) (util.c:28)
     amax = np.abs(x).max()
     assert hdr.scaling_factor == 10.0 ** (np.ceil(np.log10(amax)) - 1)
+
+
+def test_non_truncate_mode():
+    """truncate=False stores full-precision DC/AC (the reference's
+    non-USE_TRUNCATE build, dctz-comp-lib.c:104-105)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(64 * 100) * 7
+    for container in ("v1", "v2"):
+        cfg = CodecConfig(
+            mode="ec", error_bound=1e-4, truncate=False, container=container
+        )
+        blob = dctz_tpu.compress(x, config=cfg)
+        y = dctz_tpu.decompress(blob)
+        m = dctz_tpu.evaluate(x, y, 1e-4, len(blob))
+        assert m["bound_satisfied"], container
+        # full-precision escapes: error comes only from binning, never from
+        # f32 truncation — escaped coefficients round-trip exactly
+        from dctz_tpu.core import container as ct
+
+        if container == "v1":
+            hdr, *_ = ct.parse_v1(blob)
+        else:
+            hdr, *_ = ct.parse_v2(blob)
+        assert not hdr.truncate or container == "v1"  # v1 infers from sizes

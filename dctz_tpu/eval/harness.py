@@ -50,6 +50,12 @@ def run_one(
         blob = native.compress(x, error_bound, mode)
         t1 = time.perf_counter()
         rec = native.decompress(blob)
+    elif engine == "sharded":
+        from .. import compress_sharded, decompress_sharded
+
+        blob = compress_sharded(x, error_bound, mode)
+        t1 = time.perf_counter()
+        rec = decompress_sharded(blob)
     else:
         from .. import compress, decompress
 
@@ -131,7 +137,7 @@ def main(argv=None) -> int:
         "--engines",
         nargs="+",
         default=["jax"],
-        choices=["jax", "native"],
+        choices=["jax", "native", "sharded"],
     )
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out", default=None, help="CSV output path")

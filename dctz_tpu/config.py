@@ -42,7 +42,9 @@ class CodecConfig:
       ids_codec: entropy codec for the ids4 sections. "auto" uses the
         native static rANS (cpp/rans.cpp, ~480 MB/s at equal-or-better
         ratio than zlib-huffman) when the native library is built, else
-        deflate. Only applies when ids4 is enabled.
+        deflate. Only applies when ids4 is enabled. Note: on small arrays
+        (<~1 MB) the per-chunk frequency-table overhead can outweigh the
+        gains — v1/deflate may compress better there.
       container: "v1" emits the reference-compatible single-segment container
         (56-byte C struct header, dctz.h:96-119); "v2" emits the chunked
         TPU-native container that supports parallel entropy coding and

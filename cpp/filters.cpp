@@ -87,10 +87,12 @@ size_t dctz_pack_ids4(const uint8_t* ids, size_t n, uint8_t* packed,
   return counts[T];
 }
 
-// packed: n/2 bytes (n even); exc consumed in order; out: n bytes.
-// Returns exceptions consumed.
+// packed: n/2 bytes (n even); exc consumed in order (exc_len available);
+// out: n bytes. Returns exceptions consumed, or (size_t)-1 when the packed
+// stream references more exceptions than exc_len provides (corrupt or
+// truncated input — never read past the exception buffer).
 size_t dctz_unpack_ids4(const uint8_t* packed, size_t n, const uint8_t* exc,
-                        uint8_t* out) {
+                        size_t exc_len, uint8_t* out) {
   const int T = nthreads_for(n);
   std::vector<size_t> counts(T + 1, 0);
   size_t per = ((n / T) / 2 + 1) * 2;
@@ -114,6 +116,9 @@ size_t dctz_unpack_ids4(const uint8_t* packed, size_t n, const uint8_t* exc,
     for (auto& t : th) t.join();
   }
   for (int i = 0; i < T; ++i) counts[i + 1] += counts[i];
+  // Pass 1 derived the exception demand from the packed stream alone, so the
+  // bound can be enforced before any exc[] read happens.
+  if (counts[T] > exc_len) return size_t(-1);
 
   {
     std::vector<std::thread> th;

@@ -20,6 +20,7 @@
 // symbol indices) double the encode/decode dependency-chain parallelism;
 // chunks additionally run on parallel threads.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -56,25 +57,30 @@ void build_freqs(const uint8_t* data, size_t n, Freqs& f) {
     last_present = s;
   }
   // fix rounding drift: positive drift goes to the most frequent symbol;
-  // negative drift (many rare symbols bumped to freq 1) is stolen one unit
-  // at a time from the currently-largest freq, which keeps every present
-  // symbol >= 1
+  // negative drift (many rare symbols bumped to freq 1) is stolen round-robin
+  // from the largest freqs, which keeps every present symbol >= 1. One sort +
+  // O(|drift|) decrements; |drift| <= 256 (floors under-assign by < 1 per
+  // symbol, freq-1 bumps over-assign by <= 1 per symbol).
   (void)last_present;
   int32_t delta = int32_t(kProbScale) - int32_t(assigned);
-  while (delta != 0) {
+  if (delta > 0) {
     int big = 0;
     for (int s = 1; s < 256; ++s)
       if (f.freq[s] > f.freq[big]) big = s;
-    if (delta > 0) {
-      int32_t add = delta;
-      f.freq[big] = uint16_t(f.freq[big] + add);
-      delta = 0;
-    } else {
-      int32_t take = -delta;
-      int32_t avail = int32_t(f.freq[big]) - 1;
-      if (take > avail) take = avail;
-      f.freq[big] = uint16_t(f.freq[big] - take);
-      delta += take;
+    f.freq[big] = uint16_t(f.freq[big] + delta);
+  } else if (delta < 0) {
+    int order[256];
+    int np = 0;
+    for (int s = 0; s < 256; ++s)
+      if (f.freq[s] > 1) order[np++] = s;
+    std::sort(order, order + np,
+              [&](int a, int b) { return f.freq[a] > f.freq[b]; });
+    for (int i = 0; delta != 0; i = (i + 1 == np ? 0 : i + 1)) {
+      int s = order[i];
+      if (f.freq[s] > 1) {
+        f.freq[s]--;
+        delta++;
+      }
     }
   }
   f.cum[0] = 0;

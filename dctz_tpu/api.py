@@ -342,6 +342,19 @@ def compress(
 
     timer = timer or StageTimer()
     cfg = config or CodecConfig(mode=mode, error_bound=error_bound)
+    if cfg.container == "v1" and (
+        cfg.block_size != C.BLK_SZ or cfg.nbins != C.NBINS
+    ):
+        # The v1 format is the reference's fixed layout (dctz.h:96-119): it
+        # carries no block_size/nbins fields, so parse_v1 MUST assume 64/255.
+        # Anything else silently corrupts on decode — upgrade to v2, which
+        # records the geometry.
+        warnings.warn(
+            "v1 containers only support block_size=64 / nbins=255 (the "
+            "reference layout has no geometry fields); writing v2 instead",
+            stacklevel=2,
+        )
+        cfg = dataclasses.replace(cfg, container="v2")
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = _resolve_input(x, cfg)
     n = int(arr.shape[0])

@@ -125,13 +125,19 @@ def _compact(flat_mask: jax.Array, flat_vals: jax.Array, capacity: int):
 
 
 def chunk_width(total: int, block_size: int) -> int:
-    """Largest supported compaction chunk width dividing the padded size."""
+    """Largest supported compaction chunk width dividing the padded size.
+
+    Always a multiple of block_size: per-chunk escape counts assume every
+    chunk holds whole blocks (one DC mark each — see api._chunk_escape_counts),
+    so a chunk boundary must never split a block. `total` is a padded size and
+    hence a block multiple itself.
+    """
     from ..ops.compaction import CHUNK_W
 
-    cw = CHUNK_W
-    while cw > block_size and total % cw != 0:
-        cw //= 2
-    return max(cw, block_size)
+    k = max(CHUNK_W // block_size, 1)
+    while k > 1 and total % (k * block_size) != 0:
+        k //= 2
+    return k * block_size
 
 
 def encode(

@@ -71,7 +71,13 @@ def _load() -> ctypes.CDLL | None:
         lib.dctz_pack_ids4.restype = ctypes.c_size_t
         lib.dctz_pack_ids4.argtypes = [ctypes.c_void_p] + [ctypes.c_size_t] + [ctypes.c_void_p] * 2
         lib.dctz_unpack_ids4.restype = ctypes.c_size_t
-        lib.dctz_unpack_ids4.argtypes = [ctypes.c_void_p, ctypes.c_size_t] + [ctypes.c_void_p] * 2
+        lib.dctz_unpack_ids4.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
         for f in (lib.dctz_shuffle, lib.dctz_unshuffle):
             f.restype = None
             f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
@@ -161,7 +167,14 @@ def pack_ids4(ids: np.ndarray) -> tuple[bytes, bytes]:
 def unpack_ids4(packed: np.ndarray, exc: np.ndarray, n: int) -> np.ndarray:
     lib = _load()
     out = np.empty(n, np.uint8)
-    lib.dctz_unpack_ids4(packed.ctypes.data, n, exc.ctypes.data, out.ctypes.data)
+    rc = lib.dctz_unpack_ids4(
+        packed.ctypes.data, n, exc.ctypes.data, exc.size, out.ctypes.data
+    )
+    if rc == ctypes.c_size_t(-1).value:
+        raise ValueError(
+            "corrupt ids4 stream: packed nibbles reference more exception "
+            "bytes than the exception section holds"
+        )
     return out
 
 

@@ -73,6 +73,52 @@ def test_v1_header_only():
     assert not isinstance(ei.value, (SystemExit, MemoryError))
 
 
+def test_ids4_truncated_exceptions():
+    """A packed ids4 stream referencing more exception bytes than the
+    exception section holds must raise, not read out of bounds (both the
+    native and numpy filter paths)."""
+    from dctz_tpu.core import entropy
+
+    packed = bytes([0xFF] * 8)  # 16 nibble-15 markers -> needs 16 exc bytes
+    exc = bytes([255] * 3)  # ...but only 3 provided
+    with pytest.raises(ValueError):
+        entropy.unpack_ids4(packed, exc, 16)
+
+
+def test_v1_rejects_nondefault_geometry():
+    """v1 has no block_size/nbins fields; compress() must not emit a v1
+    container that parse_v1 would mis-read (silent corruption otherwise)."""
+    x = np.sin(np.linspace(0, 10, 4096)).astype(np.float32)
+    with pytest.warns(UserWarning, match="v1 containers"):
+        blob = dctz_tpu.compress(
+            x, config=CodecConfig(error_bound=1e-3, container="v1", nbins=127)
+        )
+    assert ct.detect_format(blob) == "v2"  # auto-upgraded
+    y = dctz_tpu.decompress(blob)
+    assert np.abs(x - y).max() < 0.5  # round-trips via v2, no corruption
+
+    with pytest.warns(UserWarning, match="v1 containers"):
+        blob = dctz_tpu.compress(
+            x,
+            config=CodecConfig(error_bound=1e-3, container="v1", block_size=32),
+        )
+    assert ct.detect_format(blob) == "v2"
+    y = dctz_tpu.decompress(blob)
+    assert y.shape == x.shape
+
+
+def test_chunk_width_is_block_multiple():
+    """chunk_width must return a block multiple for ANY geometry (a chunk
+    boundary through a block breaks per-chunk DC-mark accounting)."""
+    from dctz_tpu.core.quantize import chunk_width
+
+    for bs in (2, 16, 32, 48, 64, 100, 512, 1024):
+        for nblk in (1, 2, 3, 5, 31, 100):
+            cw = chunk_width(nblk * bs, bs)
+            assert cw % bs == 0, (bs, nblk, cw)
+            assert (nblk * bs) % cw == 0, (bs, nblk, cw)
+
+
 def test_stream_truncated_frame():
     import io
 

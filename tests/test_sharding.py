@@ -85,8 +85,10 @@ def test_sharded_collectives_only_for_sf_and_qtable(mesh):
     )
     hlo = lowered.compile().as_text()
     assert "all-to-all" not in hlo
-    # all-reduce appears only for the scalar stats reductions
     assert hlo.count("all-gather") == 0
+    # ... and the expected reductions ARE present: the sf/mean stats pmax/psum
+    # must cross shards (a regression to zero collectives = broken sf).
+    assert hlo.count("all-reduce") >= 1, "sf/mean all-reduce missing"
 
 
 def test_mesh_padding_math():

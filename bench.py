@@ -9,16 +9,22 @@ workload. vs_baseline compares against the native C++ reference codec
 (cpp/dctz_ref.cpp — the reference implementation's semantics, since the
 FFTW-based original cannot be built here) running on this host's CPU.
 
-Timing methodology (documented in docs/benchmarks.md):
+Methodology (docs/benchmarks.md) — everything runs through the PUBLIC API
+(`compress()` / `decompress()`), producing and consuming real containers:
+
+  * Config: v2 container with device-side id-stream coding (ids_codec=
+    "device"): the dominant stream leaves the chip entropy-coded, so the
+    host only slices/concatenates + deflates the small side streams.
   * The dev-tunnel TPU attachment moves host<->device data at ~0.02 GB/s —
-    three orders of magnitude below production PCIe/DMA — so raw transfer
-    time is excluded from the headline and reported separately
-    (`tunnel_d2h_s`). Input is generated on-device from a deterministic
-    formula; the C++ baseline gets the same array computed host-side.
-  * Device time is measured by queueing K dispatches and forcing one scalar
-    readback (block_until_ready does not synchronize on this backend).
-  * Host entropy-stage time (chunk-parallel zlib) is measured on the real
-    streams and INCLUDED, both directions, as is stream (de)assembly.
+    three orders of magnitude below production PCIe/DMA — so the StageTimer
+    "transfer" stage is excluded from the headline and reported separately.
+    Input is generated on-device from a deterministic formula; the C++
+    baseline gets the same array computed host-side.
+  * StageTimer(sync=True) forces a scalar readback at device-stage
+    boundaries (block_until_ready does not synchronize on this backend).
+  * Correctness: the FULL decompressed array is checked against the input
+    with utils.metrics.evaluate (max-rel-err vs the bound).
+  * best-of-3: host timings on this machine see 2-4x external noise.
 """
 
 from __future__ import annotations
@@ -30,7 +36,9 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(pathlib.Path(__file__).parent / ".jax_cache"))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", str(pathlib.Path(__file__).parent / ".jax_cache")
+)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -41,16 +49,14 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from dctz_tpu import native  # noqa: E402
+from dctz_tpu import compress, decompress, evaluate, native  # noqa: E402
 from dctz_tpu.config import CodecConfig  # noqa: E402
-from dctz_tpu.core import container as ct  # noqa: E402
-from dctz_tpu.core import entropy, quantize as qz  # noqa: E402
-from dctz_tpu.api import _decode_device  # noqa: E402
+from dctz_tpu.utils.timing import StageTimer  # noqa: E402
 
 N = 1 << 25  # 32Mi elements, 128 MB float32
 EB = 1e-3
-CFG = CodecConfig(mode="ec", error_bound=EB, container="v2", ids_zlib_level=5)
-K = 8  # queued dispatches per timing
+CFG = CodecConfig(mode="ec", error_bound=EB, container="v2", ids_codec="device")
+REPS = 3
 
 
 def climate_formula_np(n: int) -> np.ndarray:
@@ -78,150 +84,54 @@ def climate_formula_jax(n: int) -> jax.Array:
     return jnp.where(spike, x * 8.0, x)
 
 
-def _sync(x) -> float:
-    return float(jnp.ravel(x)[0])
-
-
-def time_device(fn, sync_leaf, k=K) -> float:
-    """Queue k dispatches, one scalar readback; returns seconds/dispatch."""
-    r = fn()
-    _sync(sync_leaf(r))
-    t0 = time.perf_counter()
-    for _ in range(k):
-        r = fn()
-    _sync(sync_leaf(r))
-    return (time.perf_counter() - t0) / k
+def _nontransfer(timer: StageTimer) -> float:
+    return sum(v for k, v in timer.stages.items() if k != "transfer")
 
 
 def bench_jax() -> dict:
-    from dctz_tpu.api import _stats_device
-    from dctz_tpu.ops import fused_encode as fe
-
     x = jax.jit(climate_formula_jax, static_argnums=0)(N)
-    _sync(x)
+    float(x.ravel()[0])  # materialize before timing
 
-    # ---- compress: device stage (stats + fused Pallas kernel + compact) --
-    def enc():
-        sf, mean = _stats_device(x, N, CFG.sf_adj)
-        return fe.fused_encode_pipeline(x, sf, EB, None) + (sf, mean)
+    # warmup: compiles + fills the persistent cache
+    blob = compress(x, config=CFG)
+    y = decompress(blob)
 
-    t_dev_c = time_device(enc, lambda r: r[1])
-    ids_d, dc_d2, ac_chunks_d, counts_d, ovf_d, sf_d, mean_d = enc()
-    assert not bool(jax.device_get(ovf_d)), "bench data overflowed capc"
+    best_c = best_d = float("inf")
+    ct_last = dt_last = None
+    for _ in range(REPS):
+        ct = StageTimer(sync=True)
+        blob = compress(x, config=CFG, timer=ct)
+        if _nontransfer(ct) < best_c:
+            best_c, ct_last = _nontransfer(ct), ct
+        dt = StageTimer(sync=True)
+        y = decompress(blob, timer=dt)
+        if _nontransfer(dt) < best_d:
+            best_d, dt_last = _nontransfer(dt), dt
 
-    # pull streams once (tunnel transfer, reported separately)
-    t0 = time.perf_counter()
-    bin_ids, dc, ac_chunks, counts = jax.device_get(
-        (ids_d, dc_d2, ac_chunks_d, counts_d)
-    )
-    capc = ac_chunks.shape[1]
-    ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
-    ac_count = int(counts.sum())
-    t_tunnel = time.perf_counter() - t0
-
-    flat_ids = bin_ids.reshape(-1)[:N]
-
-    # ---- compress: host entropy stage (ids4 pack + shuffle + deflate) ----
-    # best-of-3: host timings on this machine suffer 2-4x external noise
-    from dctz_tpu import native as nat
-
-    use_rans = nat.available()
-
-    def host_compress():
-        packed, exc = entropy.pack_ids4(flat_ids.tobytes())
-        if use_rans:
-            s0 = [nat.rans_compress(packed)]
-        else:
-            s0 = entropy.chunked_deflate(packed, CFG.chunk_bytes, 1, entropy.HUFFMAN_ONLY)
-        s1 = entropy.chunked_deflate(exc, CFG.chunk_bytes, 1)
-        return (
-            s0,
-            s1,
-            entropy.chunked_deflate(
-                entropy.shuffle_bytes(dc.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
-            ),
-            entropy.chunked_deflate(
-                entropy.shuffle_bytes(ac.tobytes(), 4), CFG.chunk_bytes, CFG.zlib_level
-            ),
-        )
-
-    t_host_c = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        streams = host_compress()
-        t_host_c = min(t_host_c, time.perf_counter() - t0)
-    out_bytes = sum(len(c) for s in streams for c in s) + 128
-
-    # ---- decompress: host inflate + re-chunk (best-of-3) ----
-    t_host_d = float("inf")
-    t0 = time.perf_counter()
-    def ids_inflate():
-        p = (
-            nat.rans_decompress(streams[0][0])
-            if use_rans
-            else entropy.chunked_inflate(streams[0])
-        )
-        return entropy.unpack_ids4(p, entropy.chunked_inflate(streams[1]), N)
-
-    ids_i = np.frombuffer(ids_inflate(), np.uint8)
-    dc_i = np.frombuffer(
-        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4), np.float32
-    )
-    ac_i = np.frombuffer(
-        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[3]), 4), np.float32
-    )
-    nblk = N // 64
-    ids2 = ids_i.reshape(nblk, 64)
-    cw = qz.chunk_width(N, 64)
-    from dctz_tpu.api import _chunk_escape_counts
-    counts = _chunk_escape_counts(ids_i, cw, 64)
-    capc = next(t for t in [t for t in (32, 64, 128) if t < cw] + [cw] if t >= min(int(counts.max()), cw))
-    ac_pad = np.zeros((counts.size, capc), np.float32)
-    ac_pad[np.arange(capc)[None, :] < counts[:, None]] = ac_i
-    t_host_d = min(t_host_d, time.perf_counter() - t0)
-    for _ in range(2):
-        t0 = time.perf_counter()
-        ids_inflate()
-        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[2]), 4)
-        entropy.unshuffle_bytes(entropy.chunked_inflate(streams[3]), 4)
-        _chunk_escape_counts(ids_i, cw, 64)
-        ap = np.zeros((counts.size, capc), np.float32)
-        ap[np.arange(capc)[None, :] < counts[:, None]] = ac_i
-        t_host_d = min(t_host_d, time.perf_counter() - t0)
-
-    # ---- decompress: device stage ----
-    ids_d = jax.device_put(ids2)
-    dc_d = jax.device_put(dc_i)
-    ac_d = jax.device_put(ac_pad)
-    sf = jnp.float32(100.0)
-    dec = lambda: _decode_device(  # noqa: E731
-        ids_d, dc_d, ac_d, N, CFG, "float32", "chunked", False, sf, None
-    )
-    t_dev_d = time_device(dec, lambda r: r)
-
-    # correctness sample: first 64k elements must satisfy the bound
-    y_head = np.asarray(jax.jit(lambda: dec()[: 1 << 16])())
-    x_head = climate_formula_np(N)[: 1 << 16]
-    rel = float(np.abs(y_head - x_head).max()) / float(
-        x_head.max() - x_head.min()
-    )
+    # full-array correctness vs the host-computed input
+    x_np = climate_formula_np(N)
+    q = evaluate(x_np, y, EB, len(blob))
 
     gb = N * 4 / 1e9
-    t_comp = t_dev_c + t_host_c
-    t_decomp = t_dev_d + t_host_d
     return {
-        "gbps": 2 * gb / (t_comp + t_decomp),
-        "compress_gbps": gb / t_comp,
-        "decompress_gbps": gb / t_decomp,
-        "device_compress_ms": t_dev_c * 1e3,
-        "device_decompress_ms": t_dev_d * 1e3,
-        "host_entropy_compress_ms": t_host_c * 1e3,
-        "host_entropy_decompress_ms": t_host_d * 1e3,
-        "tunnel_d2h_s": t_tunnel,
-        "ratio": N * 4 / out_bytes,
-        "escape_fraction": int(ac_count) / N,
-        "sample_max_rel_err": rel,
-        "bound_satisfied_sample": rel <= EB,
+        "gbps": 2 * gb / (best_c + best_d),
+        "compress_gbps": gb / best_c,
+        "decompress_gbps": gb / best_d,
+        "compress_stages_ms": {
+            k: round(v * 1e3, 2) for k, v in ct_last.stages.items()
+        },
+        "decompress_stages_ms": {
+            k: round(v * 1e3, 2) for k, v in dt_last.stages.items()
+        },
+        "tunnel_transfer_s": round(
+            ct_last.stages.get("transfer", 0.0)
+            + dt_last.stages.get("transfer", 0.0),
+            3,
+        ),
+        "ratio": q["ratio"],
+        "psnr_db": q["psnr_db"],
+        "max_rel_err": q["max_rel_err"],
+        "bound_satisfied_full_array": q["bound_satisfied"],
     }
 
 
@@ -254,14 +164,20 @@ def main() -> None:
     except Exception:  # pragma: no cover - no compiler on host
         base = {"gbps": float("nan")}
         vs = float("nan")
+
+    def _round(d):
+        return {
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in d.items()
+        }
+
     result = {
-        "metric": "single-chip compress+decompress throughput (climate f32, EC 1E-3)",
+        "metric": "single-chip compress+decompress throughput (climate f32, EC 1E-3, public API)",
         "value": round(ours["gbps"], 3),
         "unit": "GB/s",
         "vs_baseline": round(vs, 2),
         "detail": {
-            "jax": {k: round(v, 4) for k, v in ours.items()},
-            "native_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
+            "jax": _round(ours),
+            "native_cpu_baseline": _round(base),
             "n_elements": N,
             "backend": jax.devices()[0].platform,
         },

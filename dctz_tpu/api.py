@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import struct
 import warnings
 from typing import Any
 
@@ -46,6 +47,8 @@ def _device_cfg(cfg: CodecConfig) -> CodecConfig:
         ids_zlib_level=None,
         container="v1",
         shuffle=False,
+        ids4=True,
+        ids_codec="auto",
         chunk_bytes=1 << 22,
         internal_dtype="auto",
     )
@@ -95,6 +98,19 @@ def _assemble_ac(q: qz.Quantized) -> tuple[np.ndarray, np.ndarray, int]:
     return ac_chunks[sel], bin_ids, int(counts.sum())
 
 
+def _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable):
+    """Shared device decode body: dequantize + IDCT + unscale."""
+    coeffs = qz.decode(
+        bin_ids, dc, ac_buf, qtable, n, cfg, jnp.dtype(dtype), ac_layout
+    )
+    n_full = n // cfg.block_size
+    rem = n % cfg.block_size
+    main_c = coeffs[:n_full]
+    tail_c = coeffs[n_full, :rem] if rem else jnp.zeros((0,), coeffs.dtype)
+    x = transform.inverse(main_c, tail_c)
+    return (x * sf.astype(x.dtype))[:n]
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _decode_device(
     bin_ids: jax.Array,
@@ -110,15 +126,34 @@ def _decode_device(
 ):
     """Full device-side decompression pipeline (dequantize+IDCT+unscale)."""
     del sf_weak_type  # part of the cache key only
-    coeffs = qz.decode(
-        bin_ids, dc, ac_buf, qtable, n, cfg, jnp.dtype(dtype), ac_layout
+    return _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _decode_device_dpk(
+    width: jax.Array,
+    packed_rows: jax.Array,
+    exc_rows: jax.Array,
+    dc: jax.Array,
+    ac_buf: jax.Array,
+    n: int,
+    cfg: CodecConfig,
+    dtype: str,
+    ac_layout: str,
+    tile_b: int,
+    sf: jax.Array,
+    qtable: jax.Array | None,
+):
+    """Decompression from the device-packed id stream: unpack on device
+    (ops/idpack.py), then the shared decode body — the raw bin_index bytes
+    never exist on the host."""
+    from .ops import idpack
+
+    nblk = -(-n // cfg.block_size)
+    bin_ids = idpack.unpack_ids(
+        width, packed_rows, exc_rows, nblk, cfg.block_size, tile_b
     )
-    n_full = n // cfg.block_size
-    rem = n % cfg.block_size
-    main_c = coeffs[:n_full]
-    tail_c = coeffs[n_full, :rem] if rem else jnp.zeros((0,), coeffs.dtype)
-    x = transform.inverse(main_c, tail_c)
-    return (x * sf.astype(x.dtype))[:n]
+    return _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -155,6 +190,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
     from .core.quantize import chunk_width
     from .ops import fused_encode as fe
 
+    dpk = cfg.container == "v2" and cfg.ids_codec == "device"
     pad = (-n) % 1024  # (8 sublanes x 128 lanes) tile quantum
     with timer.stage("device"):
         if pad:
@@ -167,10 +203,18 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
             )
         ids, dc, ac_chunks, counts = out[:4]
+        if dpk:
+            pk = _dpk_pack_device(ids, n)
     with timer.stage("transfer"):
-        ids, dc, ac_chunks, counts, sf, mean = jax.device_get(
-            (ids, dc, ac_chunks, counts, sf, mean)
-        )
+        if dpk:
+            width, packed_rows, exc_rows, exc_counts = jax.device_get(pk)
+            dc, ac_chunks, counts, sf, mean = jax.device_get(
+                (dc, ac_chunks, counts, sf, mean)
+            )
+        else:
+            ids, dc, ac_chunks, counts, sf, mean = jax.device_get(
+                (ids, dc, ac_chunks, counts, sf, mean)
+            )
     capc = ac_chunks.shape[1]
     ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
 
@@ -189,6 +233,31 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         nbins=cfg.nbins,
         truncate=cfg.truncate,
     )
+    if dpk:
+        from .ops import idpack
+
+        header.dpk = True
+        header.shuffle = cfg.shuffle
+        with timer.stage("zlib"):
+            dcb, acb = dc.tobytes(), ac.tobytes()
+            if cfg.shuffle:
+                dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
+                acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
+            streams = _dpk_sections(
+                width,
+                packed_rows,
+                exc_rows,
+                exc_counts,
+                counts,
+                idpack.B_DEFAULT,
+                chunk_width(n_pad, cfg.block_size),
+                n_pad,
+                cfg,
+            ) + (
+                entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+                entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+            )
+            return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
     stream_len = n if cfg.container == "v1" else n_pad
     flat_ids = ids.reshape(-1)[:stream_len]
     with timer.stage("zlib"):
@@ -247,6 +316,166 @@ def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
         ),
         entropy.chunked_deflate(exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1),
     )
+
+
+# --- device-packed ids ("DPK", ids_codec="device") host glue ---------------
+
+_DPK_META_FMT = "<QHH2x"  # n_stream (padded elements), tile_b, AC chunk width
+_DPK_META_SIZE = struct.calcsize(_DPK_META_FMT)
+
+
+def _dpk_pack_device(bin_ids_dev: jax.Array, n: int):
+    """Run the device id-packing program with exception-capacity retry.
+
+    Returns the device arrays (width, packed_rows, exc_rows, exc_counts)."""
+    from .ops import idpack
+
+    out = idpack.pack_ids(bin_ids_dev, n, idpack.B_DEFAULT, idpack.CAPE)
+    if bool(jax.device_get(out[4])):
+        out = idpack.pack_ids(bin_ids_dev, n, idpack.B_DEFAULT, idpack.B_DEFAULT)
+    return out[:4]
+
+
+def _dpk_sections(
+    width, packed_rows, exc_rows, exc_counts, ac_counts, tile_b, cw, n_stream, cfg
+):
+    """Host assembly of the 4 DPK id sections: slice each fixed-capacity
+    device row to its tight byte count (one boolean extract — the only host
+    work proportional to the stream) and deflate the small side streams."""
+    from .ops import idpack
+
+    width = np.asarray(width)
+    packed_rows = np.asarray(packed_rows)
+    exc_rows = np.asarray(exc_rows)
+    exc_counts = np.asarray(exc_counts)
+    bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
+    tight = packed_rows[np.arange(packed_rows.shape[1])[None, :] < bpr[:, None]]
+    cape = exc_rows.shape[1]
+    exc_tight = exc_rows[np.arange(cape)[None, :] < exc_counts[:, None]]
+    meta = (
+        struct.pack(_DPK_META_FMT, n_stream, tile_b, cw)
+        + exc_counts.astype(np.uint16).tobytes()
+        + np.asarray(ac_counts, np.uint16).tobytes()
+    )
+    lvl = cfg.ids_zlib_level or cfg.zlib_level
+    return (
+        entropy.chunked_deflate(width.tobytes(), cfg.chunk_bytes, lvl),
+        [tight.tobytes()],  # already coded on device: stored verbatim
+        entropy.chunked_deflate(exc_tight.tobytes(), cfg.chunk_bytes, lvl),
+        entropy.chunked_deflate(meta, cfg.chunk_bytes, lvl),
+    )
+
+
+def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
+    """Decompress a DPK container: the host only re-inflates the small side
+    streams and re-pads the tight layouts into fixed-capacity rows; the id
+    stream itself is decoded on device (_decode_device_dpk)."""
+    from .ops import compaction as cp
+    from .ops import idpack
+
+    with timer.stage("host"):
+        widths_z, packed_raw, exc_z, meta_z, dz, az = streams
+        meta = entropy.chunked_inflate(meta_z)
+        n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
+        bs = header.block_size
+        nblk = -(-n_stream // bs)  # n_stream = true length on the XLA path
+        t = idpack.tiles_of(nblk, tile_b)
+        rows_n = bs * t
+        off = _DPK_META_SIZE
+        exc_counts = np.frombuffer(meta, np.uint16, rows_n, off).astype(
+            np.int64
+        )
+        ac_counts = np.frombuffer(
+            meta, np.uint16, (nblk * bs) // cw, off + 2 * rows_n
+        ).astype(np.int64)
+
+        width = np.frombuffer(
+            entropy.chunked_inflate(widths_z), np.uint8, rows_n
+        ).reshape(bs, t)
+        cap = tile_b // 2
+        bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
+        rows = np.zeros((rows_n, cap), np.uint8)
+        rows[np.arange(cap)[None, :] < bpr[:, None]] = np.frombuffer(
+            b"".join(packed_raw), np.uint8
+        )
+        exc_tight = np.frombuffer(entropy.chunked_inflate(exc_z), np.uint8)
+        peak_e = int(exc_counts.max()) if rows_n else 0
+        cape = next(
+            c
+            for c in [c for c in (16, 32, 64, 128) if c < tile_b] + [tile_b]
+            if c >= min(peak_e, tile_b)
+        )
+        exc_rows = np.zeros((rows_n, cape), np.uint8)
+        exc_rows[np.arange(cape)[None, :] < exc_counts[:, None]] = exc_tight
+
+        dc_raw = entropy.chunked_inflate(dz)
+        ac_raw = entropy.chunked_inflate(az)
+        if header.shuffle:
+            isz = header.stored_dtype.itemsize
+            dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
+            ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+
+        n = header.num_elements
+        cfg = _header_config(header)
+        stored = np.dtype(np.float32)
+        if (
+            len(dc_raw) == nblk * header.dtype.itemsize
+            and header.dtype != stored
+        ):
+            stored = header.dtype
+            cfg = dataclasses.replace(cfg, truncate=False)
+        dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+        ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+
+        ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
+        if ac_layout == "chunked":
+            # stored per-chunk counts: no id-stream rescan on the host
+            peak = int(ac_counts.max()) if ac_counts.size else 0
+            tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
+            capc = next(tt for tt in tiers if tt >= min(peak, cw))
+            ac_padded = np.zeros((ac_counts.size, capc), stored)
+            ac_padded[np.arange(capc)[None, :] < ac_counts[:, None]] = ac
+            ac = ac_padded
+        elif header.ac_count == 0:
+            ac = np.zeros((1,), stored)
+
+    out_dtype = header.dtype
+    work = (
+        "float32"
+        if (out_dtype == np.float64 and not jax.config.jax_enable_x64)
+        else out_dtype.name
+    )
+    with timer.stage("transfer"):
+        dev = (
+            jnp.asarray(width),
+            jnp.asarray(rows),
+            jnp.asarray(exc_rows),
+            jnp.asarray(dc),
+            jnp.asarray(ac),
+        )
+        sf = jnp.asarray(header.scaling_factor, jnp.dtype(work))
+        qt = (
+            jnp.asarray(qtable).astype(jnp.dtype(work))
+            if qtable is not None
+            else None
+        )
+    with timer.stage("device"):
+        x = _decode_device_dpk(
+            *dev,
+            n_stream,
+            _device_cfg(cfg),
+            work,
+            ac_layout,
+            tile_b,
+            sf,
+            qt,
+        )
+        if timer.sync:
+            float(x.ravel()[0])  # force completion (see CLAUDE.md: block_
+            # until_ready does not synchronize on the tunneled backend)
+    with timer.stage("transfer"):
+        out = np.asarray(jax.device_get(x), dtype=out_dtype)
+    return out[:n]
 
 
 def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes]:
@@ -364,6 +593,7 @@ def compress(
     if _fused_eligible(cfg, arr, n):
         return _compress_fused(arr, n, cfg, src_dtype, timer)
 
+    dpk = cfg.container == "v2" and cfg.ids_codec == "device"
     with timer.stage("device"):
         dcfg = _device_cfg(cfg)
         q, stats = _encode_device(arr, n, dcfg, None)
@@ -373,8 +603,32 @@ def compress(
             q, stats = _encode_device(
                 arr, n, dcfg, qz.chunk_width(_padded(n, cfg), cfg.block_size)
             )
+        if dpk:
+            from .ops import idpack
+
+            nblk_s, bs_s = q.bin_ids.shape
+            cw = qz.chunk_width(nblk_s * bs_s, bs_s)
+            pk = _dpk_pack_device(q.bin_ids, n)
+            # per-chunk AC counts (the chunked compaction already has them)
+            ac_counts_dev = (
+                q.ac_count
+                if q.overflowed is not None
+                else idpack.ac_chunk_counts(q.bin_ids, n, cw)
+            )
     with timer.stage("transfer"):
-        ac, bin_ids, ac_count = _assemble_ac(q)
+        if dpk:
+            if q.overflowed is None:
+                ac_buf, cnt = jax.device_get((q.ac_buf, q.ac_count))
+                ac, ac_count = ac_buf[: int(cnt)], int(cnt)
+            else:
+                ac_chunks, counts = jax.device_get((q.ac_buf, q.ac_count))
+                capc = ac_chunks.shape[1]
+                ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
+                ac_count = int(counts.sum())
+            width, packed_rows, exc_rows, exc_counts = jax.device_get(pk)
+            ac_counts = np.asarray(jax.device_get(ac_counts_dev))
+        else:
+            ac, bin_ids, ac_count = _assemble_ac(q)
         dc, sf, mean = jax.device_get((q.dc, stats.sf, stats.mean))
         qtable = jax.device_get(q.qtable) if q.qtable is not None else None
 
@@ -396,6 +650,36 @@ def compress(
         nbins=cfg.nbins,
         truncate=cfg.truncate,
     )
+    if dpk:
+        from .ops import idpack
+
+        header.dpk = True
+        header.shuffle = cfg.shuffle
+        with timer.stage("zlib"):
+            dcb, acb = dc.tobytes(), ac.tobytes()
+            if cfg.shuffle:
+                isz = dc.dtype.itemsize
+                dcb = entropy.shuffle_bytes(dcb, isz)
+                acb = entropy.shuffle_bytes(acb, isz)
+            # n_stream = TRUE length: the XLA encoder gave the tail block a
+            # rem-point basis, and decode mirrors block structure from
+            # n_stream (the fused path stores the padded length instead —
+            # it transforms whole zero-padded blocks).
+            streams = _dpk_sections(
+                width,
+                packed_rows,
+                exc_rows,
+                exc_counts,
+                ac_counts,
+                idpack.B_DEFAULT,
+                cw,
+                n,
+                cfg,
+            ) + (
+                entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+                entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+            )
+            return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
     flat_ids = bin_ids.reshape(-1)[:n]
 
     with timer.stage("zlib"):
@@ -432,10 +716,15 @@ def _header_config(header: ct.Header) -> CodecConfig:
     )
 
 
-def decompress(blob: bytes | memoryview) -> np.ndarray:
+def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
     """Decompress a container (either format) back to a flat numpy array.
 
-    Equivalent to dctz_decompress (dctz-decomp-lib.c:51)."""
+    Equivalent to dctz_decompress (dctz-decomp-lib.c:51). Pass a
+    utils.timing.StageTimer as `timer` for the reference's TIME_DEBUG-style
+    per-stage breakdown (host / device / transfer)."""
+    from .utils.timing import StageTimer
+
+    timer = timer or StageTimer()
     if bytes(memoryview(blob)[:4]) == b"DTZS":
         # segmented stream container (stream.py)
         import io
@@ -445,53 +734,62 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
         return _stream.decompress_stream_all(io.BytesIO(bytes(blob)))
     if ct.detect_format(blob) == "v2":
         header, streams, qtable, _cb = ct.parse_v2(blob)
-        bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)
+        if header.dpk:
+            return _decompress_dpk(header, streams, qtable, timer)
+        with timer.stage("host"):
+            bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)
     else:
         header, bz, dz, az, qtable = ct.parse_v1(blob)
-        bindex, dc_raw, ac_raw = entropy.inflate_streams([bz, dz, az])
+        with timer.stage("host"):
+            bindex, dc_raw, ac_raw = entropy.inflate_streams([bz, dz, az])
 
-    n = header.num_elements
-    cfg = _header_config(header)
-    bs = header.block_size
-    # Sharded v2 containers are zero-padded to the mesh quantum; the padded
-    # length is simply the bin_index stream length (v1: exactly n).
-    n_stream = len(bindex)
-    nblk = -(-n_stream // bs)
+    with timer.stage("host"):
+        n = header.num_elements
+        cfg = _header_config(header)
+        bs = header.block_size
+        # Sharded v2 containers are zero-padded to the mesh quantum; the
+        # padded length is simply the bin_index stream length (v1: exactly n).
+        n_stream = len(bindex)
+        nblk = -(-n_stream // bs)
 
-    # The reference always ships truncated (float32) DC/AC streams; detect
-    # non-truncated files by the DC stream size.
-    stored = np.dtype(np.float32)
-    if len(dc_raw) == nblk * header.dtype.itemsize and header.dtype != stored:
-        stored = header.dtype
-        cfg = dataclasses.replace(cfg, truncate=False)
+        # The reference always ships truncated (float32) DC/AC streams;
+        # detect non-truncated files by the DC stream size.
+        stored = np.dtype(np.float32)
+        if (
+            len(dc_raw) == nblk * header.dtype.itemsize
+            and header.dtype != stored
+        ):
+            stored = header.dtype
+            cfg = dataclasses.replace(cfg, truncate=False)
 
-    flat_ids = np.frombuffer(bindex, dtype=np.uint8, count=n_stream)
-    pad = nblk * bs - n_stream
-    if pad:
-        # zero-pad (bin 0 = center), then give padded blocks their DC mark
-        # so the per-block-escape invariant holds for the count pass below
-        # (idempotent for real blocks: dctz-comp-lib.c:361 always marks DC).
-        flat_ids = np.concatenate([flat_ids, np.zeros(pad, np.uint8)])
-        flat_ids.reshape(nblk, bs)[:, 0] = C.ESCAPE
-    dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
-    ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+        flat_ids = np.frombuffer(bindex, dtype=np.uint8, count=n_stream)
+        pad = nblk * bs - n_stream
+        if pad:
+            # zero-pad (bin 0 = center), then give padded blocks their DC
+            # mark so the per-block-escape invariant holds for the count pass
+            # below (idempotent for real blocks: dctz-comp-lib.c:361 always
+            # marks DC).
+            flat_ids = np.concatenate([flat_ids, np.zeros(pad, np.uint8)])
+            flat_ids.reshape(nblk, bs)[:, 0] = C.ESCAPE
+        dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+        ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
 
-    from .ops import compaction as cp
+        from .ops import compaction as cp
 
-    ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
-    if ac_layout == "chunked":
-        # Gather-free TPU decode: pre-split the AC stream into per-chunk
-        # padded rows on the host (counts are derivable from bin_index).
-        cw = qz.chunk_width(nblk * bs, bs)
-        counts = _chunk_escape_counts(flat_ids, cw, bs)
-        peak = int(counts.max()) if counts.size else 0
-        tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
-        capc = next(t for t in tiers if t >= min(peak, cw))
-        ac_padded = np.zeros((counts.size, capc), stored)
-        ac_padded[np.arange(capc)[None, :] < counts[:, None]] = ac
-        ac = ac_padded
-    elif header.ac_count == 0:
-        ac = np.zeros((1,), stored)
+        ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
+        if ac_layout == "chunked":
+            # Gather-free TPU decode: pre-split the AC stream into per-chunk
+            # padded rows on the host (counts are derivable from bin_index).
+            cw = qz.chunk_width(nblk * bs, bs)
+            counts = _chunk_escape_counts(flat_ids, cw, bs)
+            peak = int(counts.max()) if counts.size else 0
+            tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
+            capc = next(t for t in tiers if t >= min(peak, cw))
+            ac_padded = np.zeros((counts.size, capc), stored)
+            ac_padded[np.arange(capc)[None, :] < counts[:, None]] = ac
+            ac = ac_padded
+        elif header.ac_count == 0:
+            ac = np.zeros((1,), stored)
 
     out_dtype = header.dtype
     if out_dtype == np.float64 and not jax.config.jax_enable_x64:
@@ -499,25 +797,34 @@ def decompress(blob: bytes | memoryview) -> np.ndarray:
     else:
         work_dtype = out_dtype.name
 
-    sf = jnp.asarray(header.scaling_factor, jnp.dtype(work_dtype))
-    qt = (
-        jnp.asarray(qtable).astype(jnp.dtype(work_dtype))
-        if qtable is not None
-        else None
-    )
-    x = _decode_device(
-        jnp.asarray(flat_ids.reshape(nblk, bs)),
-        jnp.asarray(dc),
-        jnp.asarray(ac),
-        n_stream,
-        _device_cfg(cfg),
-        work_dtype,
-        ac_layout,
-        False,
-        sf,
-        qt,
-    )
-    return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]
+    with timer.stage("transfer"):
+        ids_d = jnp.asarray(flat_ids.reshape(nblk, bs))
+        dc_d = jnp.asarray(dc)
+        ac_d = jnp.asarray(ac)
+        sf = jnp.asarray(header.scaling_factor, jnp.dtype(work_dtype))
+        qt = (
+            jnp.asarray(qtable).astype(jnp.dtype(work_dtype))
+            if qtable is not None
+            else None
+        )
+    with timer.stage("device"):
+        x = _decode_device(
+            ids_d,
+            dc_d,
+            ac_d,
+            n_stream,
+            _device_cfg(cfg),
+            work_dtype,
+            ac_layout,
+            False,
+            sf,
+            qt,
+        )
+        if timer.sync:
+            float(x.ravel()[0])  # force completion (tunneled-backend sync)
+    with timer.stage("transfer"):
+        out = np.asarray(jax.device_get(x), dtype=out_dtype)
+    return out[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -39,12 +39,15 @@ class CodecConfig:
         bits, the rest escape to an exception byte stream. Measured: ~13%
         smaller ids section AND ~4x faster deflate (HUFFMAN_ONLY suffices
         on the packed stream).
-      ids_codec: entropy codec for the ids4 sections. "auto" uses the
-        native static rANS (cpp/rans.cpp, ~480 MB/s at equal-or-better
-        ratio than zlib-huffman) when the native library is built, else
-        deflate. Only applies when ids4 is enabled. Note: on small arrays
-        (<~1 MB) the per-chunk frequency-table overhead can outweigh the
-        gains — v1/deflate may compress better there.
+      ids_codec: entropy codec for the bin-index stream (v2 containers).
+        "auto" uses the native static rANS (cpp/rans.cpp, ~480 MB/s at
+        equal-or-better ratio than zlib-huffman) on the ids4 nibbles when
+        the native library is built, else deflate. "device" codes the
+        stream ON THE DEVICE (ops/idpack.py: transposed per-position
+        patched fixed-width packing) so the host only slices/concatenates —
+        the TPU fast path, and measured ~20% smaller than rANS on climate
+        data. Note: on small arrays (<~1 MB) per-chunk/table overheads can
+        outweigh the gains — v1/deflate may compress better there.
       container: "v1" emits the reference-compatible single-segment container
         (56-byte C struct header, dctz.h:96-119); "v2" emits the chunked
         TPU-native container that supports parallel entropy coding and
@@ -73,7 +76,7 @@ class CodecConfig:
     container: Literal["v1", "v2"] = "v1"
     shuffle: bool = True
     ids4: bool = True
-    ids_codec: Literal["auto", "deflate", "rans"] = "auto"
+    ids_codec: Literal["auto", "deflate", "rans", "device"] = "auto"
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
 

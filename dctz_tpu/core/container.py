@@ -70,6 +70,7 @@ class Header:
     shuffle: bool = False  # v2: DC/AC streams byte-shuffled before deflate
     ids4: bool = False  # v2: bin-index stream nibble-packed + exception stream
     rans: bool = False  # v2: ids sections rANS-coded (native codec)
+    dpk: bool = False  # v2: bin-index stream device-packed (ops/idpack.py)
 
     @property
     def nblk(self) -> int:
@@ -194,6 +195,10 @@ _FLAG_F64 = 1 << 2
 _FLAG_SHUFFLE = 1 << 3  # DC/AC streams byte-shuffled before deflate
 _FLAG_IDS4 = 1 << 4  # bin-index stream nibble-packed (4th section = exceptions)
 _FLAG_RANS = 1 << 5  # ids sections use the native rANS codec, not deflate
+# bin-index stream device-packed (ops/idpack.py): 6 sections
+# (widths, packed-raw, exceptions, meta, dc, ac) — the packed section is
+# stored verbatim (it is already entropy-coded on the device)
+_FLAG_DPK = 1 << 6
 
 
 def pack_v2(
@@ -222,6 +227,10 @@ def pack_v2(
             raise ValueError("ids4 container needs 4 stream sections")
     if header.rans:
         flags |= _FLAG_RANS
+    if header.dpk:
+        flags |= _FLAG_DPK
+        if len(streams_z) != 6:
+            raise ValueError("dpk container needs 6 stream sections")
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -275,7 +284,12 @@ def parse_v2(
         raise ValueError(f"unsupported v2 container version {version}")
     dtype = np.dtype(np.float64 if flags & _FLAG_F64 else np.float32)
     mode = "qt" if flags & _FLAG_QT else "ec"
-    nsections = 4 if flags & _FLAG_IDS4 else 3
+    if flags & _FLAG_DPK:
+        nsections = 6
+    elif flags & _FLAG_IDS4:
+        nsections = 4
+    else:
+        nsections = 3
 
     off = _V2_FIXED_SIZE
     tables: list[list[int]] = []
@@ -300,6 +314,7 @@ def parse_v2(
         ).copy()
         off += qtable_bytes
 
+    dpk = bool(flags & _FLAG_DPK)
     header = Header(
         dtype=dtype,
         num_elements=n,
@@ -307,9 +322,9 @@ def parse_v2(
         ac_count=ac_count,
         scaling_factor=sf,
         mean=mean,
-        bindex_nbytes=sum(tables[0]),
-        dc_nbytes=sum(tables[1]),
-        ac_nbytes=sum(tables[2]),
+        bindex_nbytes=sum(sum(t) for t in tables[:-2]) if dpk else sum(tables[0]),
+        dc_nbytes=sum(tables[-2]) if dpk else sum(tables[1]),
+        ac_nbytes=sum(tables[-1]) if dpk else sum(tables[2]),
         mode=mode,
         block_size=block_size,
         nbins=nbins,
@@ -317,6 +332,7 @@ def parse_v2(
         shuffle=bool(flags & _FLAG_SHUFFLE),
         ids4=bool(flags & _FLAG_IDS4),
         rans=bool(flags & _FLAG_RANS),
+        dpk=dpk,
     )
     return header, tuple(streams), qtable, chunk_bytes
 

@@ -23,10 +23,17 @@ from typing import Iterator
 
 
 class StageTimer:
-    """Accumulates named stage durations; reentrant stages sum up."""
+    """Accumulates named stage durations; reentrant stages sum up.
 
-    def __init__(self) -> None:
+    sync=True inserts a scalar device readback at device-stage boundaries so
+    async dispatch time is attributed to the right stage (block_until_ready
+    does not synchronize on some backends — see CLAUDE.md); leave False in
+    production paths to keep dispatch fully asynchronous.
+    """
+
+    def __init__(self, sync: bool = False) -> None:
         self.stages: dict[str, float] = {}
+        self.sync = sync
         self._t0 = time.perf_counter()
 
     def __enter__(self) -> "StageTimer":

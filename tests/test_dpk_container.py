@@ -1,0 +1,108 @@
+"""End-to-end round trips through DPK containers (ids_codec="device"):
+the id stream is entropy-coded on the device and never materialized on the
+host, replacing the reference's host zlib stage for that stream
+(dctz-comp-lib.c:620-732)."""
+
+import numpy as np
+import pytest
+
+import dctz_tpu
+from dctz_tpu.config import CodecConfig
+from dctz_tpu.core import container as ct
+
+
+def _signal(n, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 60, n)
+    x = np.sin(t) * 40 + np.sin(t * 13.7) * 3 + rng.standard_normal(n) * 0.05
+    spikes = rng.random(n) < 0.001
+    return np.where(spikes, x * 8, x).astype(dtype)
+
+
+def _cfg(**kw):
+    kw.setdefault("container", "v2")
+    kw.setdefault("ids_codec", "device")
+    return CodecConfig(**kw)
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_dpk_roundtrip_bound(mode, dtype):
+    x = _signal(50_000, dtype)
+    blob = dctz_tpu.compress(x, config=_cfg(mode=mode, error_bound=1e-3))
+    header, *_ = ct.parse_v2(blob)
+    assert header.dpk
+    y = dctz_tpu.decompress(blob)
+    assert y.dtype == x.dtype
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+
+def test_dpk_bytes_match_non_dpk_reconstruction():
+    """DPK is a different container encoding of the SAME quantized data:
+    reconstruction must be bit-identical to the rANS/deflate v2 path."""
+    x = _signal(30_000, np.float32, seed=3)
+    y_dpk = dctz_tpu.decompress(
+        dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    )
+    y_v2 = dctz_tpu.decompress(
+        dctz_tpu.compress(
+            x, config=CodecConfig(error_bound=1e-3, container="v2")
+        )
+    )
+    np.testing.assert_array_equal(y_dpk, y_v2)
+
+
+@pytest.mark.parametrize(
+    "n", [64, 63, 65, 1000, 4096, 64 * 256, 64 * 256 * 2 + 17]
+)
+def test_dpk_sizes_and_tails(n):
+    """Tile padding, partial tail blocks, and single-block arrays."""
+    x = _signal(n, np.float32, seed=n)
+    blob = dctz_tpu.compress(x, config=_cfg(error_bound=1e-4))
+    y = dctz_tpu.decompress(blob)
+    assert y.shape == x.shape
+    assert dctz_tpu.evaluate(x, y, 1e-4)["bound_satisfied"]
+
+
+def test_dpk_all_zero():
+    x = np.zeros(10_000, np.float32)
+    y = dctz_tpu.decompress(dctz_tpu.compress(x, config=_cfg()))
+    np.testing.assert_array_equal(y, x)
+
+
+def test_dpk_spiky_exception_retry():
+    """Random integers escape nearly everywhere: exercises the exception
+    capacity retry path (pack overflow -> cape=B rerun)."""
+    rng = np.random.default_rng(5)
+    x = rng.integers(-1000, 1000, 20_000).astype(np.float64)
+    blob = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    y = dctz_tpu.decompress(blob)
+    # random data is the documented worst case: just require a round trip
+    # within the coefficient-domain guarantee, same as the v2 path
+    y2 = dctz_tpu.decompress(
+        dctz_tpu.compress(
+            x, config=CodecConfig(error_bound=1e-3, container="v2")
+        )
+    )
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_dpk_ratio_vs_rans():
+    """Ratio positioning: on smooth climate-like data (the bench workload
+    shape) device packing BEATS the host rANS path (per-position
+    homogeneity + deflated exceptions); on noisy data fixed-width coding
+    cannot reach fractional-bit entropy, but must stay within ~35%."""
+    n = 1 << 18
+    t = np.arange(n, dtype=np.float32)
+    smooth = (
+        np.sin(t * 0.001) * 40 + np.sin(t * 0.137) * 3 + np.sin(t * 2.03) * 0.3
+    ).astype(np.float32)
+    v2cfg = CodecConfig(error_bound=1e-3, container="v2")
+    dpk = len(dctz_tpu.compress(smooth, config=_cfg(error_bound=1e-3)))
+    v2 = len(dctz_tpu.compress(smooth, config=v2cfg))
+    assert dpk < v2, (dpk, v2)
+
+    noisy = _signal(n, np.float32, seed=9)
+    dpk = len(dctz_tpu.compress(noisy, config=_cfg(error_bound=1e-3)))
+    v2 = len(dctz_tpu.compress(noisy, config=v2cfg))
+    assert dpk < v2 * 1.35, (dpk, v2)

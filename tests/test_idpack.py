@@ -1,0 +1,119 @@
+"""Device-side id-stream coding (ops/idpack.py): round-trip, oracle
+agreement, and host assembly/reassembly of the tight layout."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dctz_tpu.core import constants as C
+from dctz_tpu.ops import idpack
+
+
+def _random_ids(rng, nblk, bs, heavy=False):
+    """Bin-id grids shaped like real DCT output: position-dependent decay,
+    DC col = ESCAPE, occasional escapes."""
+    mag = rng.geometric(p=0.4, size=(nblk, bs)).astype(np.int64) - 1
+    decay = np.maximum(1, np.arange(bs) // 4)
+    ids = np.minimum(mag * 8 // decay[None, :], 254)
+    if heavy:
+        ids = np.minimum(ids * 16, 254)
+    esc = rng.random((nblk, bs)) < 0.01
+    ids = np.where(esc, C.ESCAPE, ids)
+    ids[:, 0] = C.ESCAPE
+    return ids.astype(np.uint8)
+
+
+@pytest.mark.parametrize("b", [64, 256])
+@pytest.mark.parametrize("heavy", [False, True])
+def test_pack_unpack_roundtrip(b, heavy):
+    rng = np.random.default_rng(7)
+    nblk, bs = 700, 64  # not a tile multiple: exercises padding
+    ids = _random_ids(rng, nblk, bs, heavy)
+    n_valid = nblk * bs - 13  # partial tail block
+
+    width, packed, exc_rows, exc_counts, ovf = idpack.pack_ids(
+        jnp.asarray(ids), n_valid, b, b
+    )
+    assert not bool(ovf)
+    out = np.asarray(
+        idpack.unpack_ids(width, packed, exc_rows, nblk, bs, b)
+    )
+    pos = np.arange(nblk * bs).reshape(nblk, bs)
+    valid = pos < n_valid
+    ref = np.where(valid, ids, 0)
+    ref[:, 0] = C.ESCAPE  # DC marks always restored
+    assert np.array_equal(np.where(valid, out, 0)[:, 1:], ref[:, 1:])
+    assert np.array_equal(out[:, 0], ref[:, 0])
+
+
+def test_matches_numpy_oracle():
+    rng = np.random.default_rng(3)
+    nblk, bs, b = 512, 64, 256
+    ids = _random_ids(rng, nblk, bs)
+    n_valid = nblk * bs
+
+    width, packed, exc_rows, exc_counts, ovf = idpack.pack_ids(
+        jnp.asarray(ids), n_valid, b, b
+    )
+    assert not bool(ovf)
+    w_np, tight_np, exc_np, counts_np = idpack.pack_ids_np(ids, n_valid, b)
+
+    width = np.asarray(width)
+    assert np.array_equal(width, w_np)
+    # host assembly: slice each capacity row to its width's byte count
+    packed = np.asarray(packed)
+    bpr = idpack.packed_nbytes(width.reshape(-1), b)
+    tight = packed[np.arange(packed.shape[1])[None, :] < bpr[:, None]]
+    assert tight.tobytes() == tight_np
+    exc_counts = np.asarray(exc_counts)
+    assert np.array_equal(exc_counts, counts_np)
+    cape = exc_rows.shape[1]
+    exc = np.asarray(exc_rows)[
+        np.arange(cape)[None, :] < exc_counts[:, None]
+    ]
+    assert exc.tobytes() == exc_np
+
+
+def test_host_reassembly_roundtrip():
+    """Tight stream -> capacity rows -> unpack must equal the original."""
+    rng = np.random.default_rng(11)
+    nblk, bs, b = 300, 64, 64
+    ids = _random_ids(rng, nblk, bs)
+    n = nblk * bs
+
+    width, packed, exc_rows, exc_counts, ovf = idpack.pack_ids(
+        jnp.asarray(ids), n, b, b
+    )
+    width, packed, exc_counts = map(np.asarray, (width, packed, exc_counts))
+    bpr = idpack.packed_nbytes(width.reshape(-1), b)
+    colmask = np.arange(b // 2)[None, :] < bpr[:, None]
+    tight = packed[colmask]
+
+    rows = np.zeros_like(packed)
+    rows[colmask] = tight
+    out = np.asarray(
+        idpack.unpack_ids(
+            jnp.asarray(width), jnp.asarray(rows), exc_rows, nblk, bs, b
+        )
+    )
+    assert np.array_equal(out, ids)
+
+
+def test_all_zero_ids_cost_nothing():
+    ids = np.zeros((256, 64), np.uint8)
+    ids[:, 0] = C.ESCAPE
+    width, packed, exc_rows, exc_counts, ovf = idpack.pack_ids(
+        jnp.asarray(ids), 256 * 64, 256, 64
+    )
+    assert int(np.asarray(width).sum()) == 0
+    assert int(np.asarray(exc_counts).sum()) == 0
+    assert idpack.packed_nbytes(np.asarray(width).reshape(-1), 256).sum() == 0
+
+
+def test_exception_overflow_flag():
+    """All-15 nibbles with tiny cape must raise the overflow flag."""
+    ids = np.full((256, 64), 200, np.uint8)  # every AC an exception at w=4
+    ids[:, 0] = C.ESCAPE
+    *_, exc_counts, ovf = idpack.pack_ids(jnp.asarray(ids), 256 * 64, 256, 16)
+    assert bool(ovf)

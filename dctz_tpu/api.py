@@ -72,12 +72,21 @@ def _pad_coeffs(main_c: jax.Array, tail_c: jax.Array, block_size: int) -> jax.Ar
 def _encode_device(
     x: jax.Array, n: int, cfg: CodecConfig, ac_capacity: int | None
 ):
-    """Full device-side compression pipeline (scale+DCT+quantize+compact)."""
+    """Full device-side compression pipeline (scale+DCT+quantize+compact),
+    optionally followed by the in-program verify-repair pass (cfg.verify)."""
     stats = calc_data_stat(x, cfg.sf_adj)
     xs = x / stats.sf  # reference divides in place (dctz-comp-lib.c:198)
     main_c, tail_c = transform.forward(xs, cfg.block_size)
     coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
     q = qz.encode(coeffs, n, cfg, ac_capacity)
+    if cfg.verify:
+        from .ops import repair
+
+        ids2, dense32, ok = repair.verify_repair(
+            x, coeffs, stats.sf, q.bin_ids, q.dc, q.qtable, n, n, cfg
+        )
+        q = qz.repack(ids2, dense32, q.dc, q.qtable, n, cfg, ac_capacity)
+        q = q._replace(bound_ok=ok)
     return q, stats
 
 
@@ -185,6 +194,33 @@ def _fused_eligible(cfg: CodecConfig, arr: jax.Array, n: int) -> bool:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _repair_fused(arr, sf, ids, dc, n, cfg, capc):
+    """Verify-repair for the fused EC path: recompute the coefficients (XLA
+    matmul; ulp-level differences vs the Pallas kernel are absorbed by the
+    bin-id indirection — reconstruction reads ids/stored values, both of
+    which stay self-consistent), repair, recompact."""
+    from .ops import compaction as cp
+    from .ops import repair
+
+    n_pad = arr.shape[0]
+    xs = arr / sf
+    main_c, tail_c = transform.forward(xs, cfg.block_size)
+    coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
+    ids2, dense32, ok = repair.verify_repair(
+        arr, coeffs, sf, ids, dc, None, n_pad, n, cfg
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, ids2.shape, 1)
+    esc = (ids2.astype(jnp.int32) == C.ESCAPE) & (col >= 1)
+    cw = qz.chunk_width(n_pad, cfg.block_size)
+    from .ops.compaction import CAPC
+
+    ac_chunks, counts, ovf = cp.compact_chunked(
+        esc.reshape(-1), dense32.reshape(-1), cw, min(capc or CAPC, cw)
+    )
+    return ids2, ac_chunks, counts, ovf, ok
+
+
 def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
     """EC fast path: Pallas fused kernel + chunk-local compaction."""
     from .core.quantize import chunk_width
@@ -203,8 +239,23 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
             )
         ids, dc, ac_chunks, counts = out[:4]
+        bound_ok = None
+        if cfg.verify:
+            rcfg = _device_cfg(cfg)
+            rep = _repair_fused(arr, sf, ids, dc, n, rcfg, None)
+            if bool(jax.device_get(rep[3])):
+                rep = _repair_fused(
+                    arr, sf, ids, dc, n, rcfg, chunk_width(n_pad, cfg.block_size)
+                )
+            ids, ac_chunks, counts, _, bound_ok = rep
         if dpk:
             pk = _dpk_pack_device(ids, n)
+    if bound_ok is not None and not bool(jax.device_get(bound_ok)):
+        warnings.warn(
+            "verify-repair could not fully satisfy the pointwise bound "
+            "(float32-truncation floor); see docs/numerics.md",
+            stacklevel=3,
+        )
     with timer.stage("transfer"):
         if dpk:
             width, packed_rows, exc_rows, exc_counts = jax.device_get(pk)
@@ -615,6 +666,12 @@ def compress(
                 if q.overflowed is not None
                 else idpack.ac_chunk_counts(q.bin_ids, n, cw)
             )
+    if q.bound_ok is not None and not bool(jax.device_get(q.bound_ok)):
+        warnings.warn(
+            "verify-repair could not fully satisfy the pointwise bound "
+            "(float32-truncation floor); see docs/numerics.md",
+            stacklevel=2,
+        )
     with timer.stage("transfer"):
         if dpk:
             if q.overflowed is None:

@@ -62,6 +62,15 @@ class CodecConfig:
         needs jax x64 enabled); "float32" forces the fast single-precision
         device path regardless of input dtype (bound semantics then include a
         ~1e-6-relative transform error term, see docs/numerics.md).
+      verify: device-side verify-and-repair (ops/repair.py): reconstruct the
+        array inside the encode program exactly as the decoder will, and
+        force-escape the coefficients of any block whose pointwise error
+        exceeds eb * value_range — the check the reference ships disabled
+        (util.c:96-102). Guarantees 100% pointwise bound satisfaction (up to
+        documented f32-truncation floors) at <1% typical ratio cost and
+        roughly 2x the device-stage (NOT end-to-end) compress time. Off by
+        default to preserve byte parity with the reference streams; the eval
+        harness enables it.
     """
 
     mode: Mode = "ec"
@@ -79,6 +88,7 @@ class CodecConfig:
     ids_codec: Literal["auto", "deflate", "rans", "device"] = "auto"
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
+    verify: bool = False
 
     def __post_init__(self) -> None:
         if self.mode not in ("ec", "qt"):

@@ -60,6 +60,7 @@ class Quantized(NamedTuple):
     ac_count: jax.Array  # scalar int32 / (nchunks,) int32
     qtable: jax.Array | None  # (bs,) QT mode only
     overflowed: jax.Array | None = None  # chunked layout only
+    bound_ok: jax.Array | None = None  # verify-repair outcome (cfg.verify)
 
 
 def _work_dtype(dtype) -> jnp.dtype:
@@ -215,6 +216,23 @@ def encode(
     ).astype(jnp.uint8)
 
     flat_vals = coeffs.astype(stored_dtype).reshape(-1)
+    return _compact_stream(
+        bin_ids,
+        escape,
+        flat_vals,
+        dc,
+        qtable,
+        explicit_capacity,
+        ac_capacity,
+        compaction,
+    )
+
+
+def _compact_stream(
+    bin_ids, escape, flat_vals, dc, qtable, explicit_capacity, ac_capacity,
+    compaction,
+):
+    nblk, bs = bin_ids.shape
     from ..ops import compaction as cp
 
     if compaction == "auto":
@@ -231,6 +249,34 @@ def encode(
     return Quantized(bin_ids, dc, ac_buf, ac_count, qtable)
 
 
+def repack(
+    bin_ids: jax.Array,
+    dense_vals: jax.Array,
+    dc: jax.Array,
+    qtable: jax.Array | None,
+    n: int,
+    cfg: CodecConfig,
+    ac_capacity: int | None = None,
+    compaction: str = "auto",
+) -> Quantized:
+    """Rebuild a Quantized from modified bin ids + in-place stored values
+    (the verify-repair output, ops/repair.py): recompacts the AC stream,
+    everything else passes through."""
+    nblk, bs = bin_ids.shape
+    _, ac_mask = _masks(nblk, bs, n)
+    escape = ac_mask & (bin_ids.astype(jnp.int32) == C.ESCAPE)
+    return _compact_stream(
+        bin_ids,
+        escape,
+        dense_vals.reshape(-1),
+        dc,
+        qtable,
+        ac_capacity,
+        ac_capacity if ac_capacity is not None else n,
+        compaction,
+    )
+
+
 def decode(
     bin_ids: jax.Array,
     dc: jax.Array,
@@ -245,8 +291,11 @@ def decode(
 
     bin_ids: (nblk, bs) uint8 (padding slots must hold ESCAPE or anything —
     they are masked); dc: (nblk,); ac_buf: the escaped-coefficient stream,
-    either globally compacted (capacity,) or per-chunk padded
-    (nchunks, capc) (ac_layout="chunked", the TPU gather-free path)."""
+    either globally compacted (capacity,), per-chunk padded (nchunks, capc)
+    (ac_layout="chunked", the TPU gather-free path), or a full (nblk, bs)
+    grid holding stored values in place (ac_layout="dense" — used by the
+    encode-side verifier, which has the values at their positions and skips
+    the compaction round trip; the arithmetic is identical)."""
     nblk, bs = bin_ids.shape
     w, rmin, rmax = _geometry(cfg, np.dtype(jnp.dtype(dtype).name))
     _, ac_mask = _masks(nblk, bs, n)
@@ -256,7 +305,9 @@ def decode(
 
     # Restore escaped coefficients: the k-th escape (row-major) reads the
     # k-th AC stream entry.
-    if ac_layout == "chunked":
+    if ac_layout == "dense":
+        ac_vals = ac_buf
+    elif ac_layout == "chunked":
         from ..ops import compaction as cp
 
         cw = (nblk * bs) // ac_buf.shape[0]

@@ -161,7 +161,7 @@ double get_union(const double* slot, bool is_double) {
 // ---------------------------------------------------------------------------
 template <typename T>
 size_t compress_impl(const T* data, uint32_t n, double eb, int qt_mode,
-                     uint8_t* out, size_t out_cap) {
+                     int verify, uint8_t* out, size_t out_cap) {
   const bool is_double = sizeof(T) == 8;
   const uint32_t nblk = (n + kBlk - 1) / kBlk;
   const uint32_t rem = n % kBlk;
@@ -241,8 +241,6 @@ size_t compress_impl(const T* data, uint32_t n, double eb, int qt_mode,
       if (qtable[j] < T(1)) qtable[j] = T(1);
   const double qt_factor = (kNBins == 255) ? 10.0 : 2000.0;
 
-  std::vector<float> ac_exact;
-  ac_exact.reserve(1024);
   for (uint32_t i = 0; i < nblk; ++i) {
     const int lsz = (i == nblk - 1 && rem) ? int(rem) : kBlk;
     for (int j = 1; j < lsz; ++j) {
@@ -259,16 +257,101 @@ size_t compress_impl(const T* data, uint32_t n, double eb, int qt_mode,
           item = T((double(item) / double(qtable[j])) * eb * qt_factor +
                    double(range_max));
         coef[idx] = item;
-        if (item < range_min || item > range_max) {
-          ac_exact.push_back(float(item));
-        } else {
+        if (item >= range_min && item <= range_max) {
           int lin = int((item - range_min) / bin_width);
           if (lin > kNBins - 1) lin = kNBins - 1;
           bin_index[idx] = zigzag_id(lin);
         }
-      } else {
-        ac_exact.push_back(float(item));
       }
+    }
+  }
+
+  // --- optional verify-and-repair (mirror of dctz_tpu/ops/repair.py): the
+  // reference ships this pointwise check disabled (util.c:96-102); when
+  // `verify` is set, blocks whose reconstruction exceeds eb*range get their
+  // error-carrying coefficients force-escaped. ---
+  if (verify) {
+    double vmin = data[0], vmax = data[0];
+    for (uint32_t i = 1; i < n; ++i) {
+      double v = double(data[i]);
+      if (v < vmin) vmin = v;
+      if (v > vmax) vmax = v;
+    }
+    const double tol = (vmax - vmin) * eb * 0.99;
+    // decoder-side geometry (dctz-decomp-lib.c:373)
+    const T drange_max = T(eb * kNBins);
+    const T drange_min = -drange_max;
+    std::vector<T> chat(kBlk), xhat(kBlk);
+    for (int pass = 0; pass < 2; ++pass) {
+      const double floor_pass = (pass == 0) ? double(bin_width) / 8
+                                            : double(bin_width) * 1e-3;
+      for (uint32_t i = 0; i < nblk; ++i) {
+        const int lsz = (i == nblk - 1 && rem) ? int(rem) : kBlk;
+        // reconstruct exactly as decompress_impl will
+        chat[0] = T(dc[i]);
+        for (int j = 1; j < lsz; ++j) {
+          size_t idx = size_t(i) * kBlk + j;
+          uint8_t id = bin_index[idx];
+          if (id == kEscape) {
+            T v = T(float(coef[idx]));
+            if (qt_mode) {
+              if (v > T(0))
+                v = T((double(v) - double(drange_max)) / (eb * qt_factor) *
+                      double(qtable[j]));
+              else
+                v = T((double(v) - double(drange_min)) / (eb * qt_factor) *
+                      double(qtable[j]));
+            }
+            chat[j] = v;
+          } else {
+            chat[j] = bin_center(int(id), bin_width);
+          }
+        }
+        double blk_err = 0.0;
+        if (lsz == kBlk) {
+          idct_block(basis64, chat.data(), xhat.data(), kBlk);
+        } else {
+          Basis tail(lsz);
+          idct_block(tail, chat.data(), xhat.data(), lsz);
+        }
+        for (int j = 0; j < lsz; ++j) {
+          double e = std::fabs(double(T(xhat[j] * sf)) -
+                               double(data[size_t(i) * kBlk + j]));
+          if (e > blk_err) blk_err = e;
+        }
+        if (blk_err <= tol) continue;
+        for (int j = 1; j < lsz; ++j) {
+          size_t idx = size_t(i) * kBlk + j;
+          double e = std::fabs(double(coef[idx]) - double(chat[j]));
+          double floor_j = floor_pass;
+          if (qt_mode) {
+            // escaping through the qtable has its own f32 floor
+            double qf = 3e-6 * std::fabs(double(qtable[j]));
+            if (qf > floor_j) floor_j = qf;
+          }
+          if (e <= floor_j || bin_index[idx] == kEscape) continue;
+          bin_index[idx] = kEscape;
+          if (qt_mode) {
+            // renormalize the newly forced value like a real escape, side
+            // chosen by sign (identical for out-of-range values)
+            T item = coef[idx];
+            double side = item > T(0) ? double(range_max) : double(range_min);
+            coef[idx] = T((double(item) / double(qtable[j])) * eb * qt_factor +
+                          side);
+          }
+        }
+      }
+    }
+  }
+
+  // --- collect the AC_exact stream in block order ---
+  std::vector<float> ac_exact;
+  ac_exact.reserve(1024);
+  for (uint32_t i = 0; i < nblk; ++i) {
+    const int lsz = (i == nblk - 1 && rem) ? int(rem) : kBlk;
+    for (int j = 1; j < lsz; ++j) {
+      size_t idx = size_t(i) * kBlk + j;
+      if (bin_index[idx] == kEscape) ac_exact.push_back(float(coef[idx]));
     }
   }
   const uint32_t tot_ac = uint32_t(ac_exact.size());
@@ -403,17 +486,25 @@ int decompress_impl(const uint8_t* blob, size_t blob_len, T* out,
 
 extern "C" {
 
-// datatype: 0 = float32, 1 = float64; qt_mode: 0 = EC, 1 = QT.
+// datatype: 0 = float32, 1 = float64; qt_mode: 0 = EC, 1 = QT; verify: run
+// the pointwise verify-and-repair pass (0 = reference-faithful behavior).
 // Returns container size, or 0 if out_cap is too small.
-size_t dctz_ref_compress(int datatype, int qt_mode, const void* data,
-                         uint32_t n, double error_bound, uint8_t* out,
-                         size_t out_cap) {
+size_t dctz_ref_compress_v(int datatype, int qt_mode, int verify,
+                           const void* data, uint32_t n, double error_bound,
+                           uint8_t* out, size_t out_cap) {
   if (error_bound < 1e-6) return 0;  // dctz-comp-lib.c:135-138
   if (datatype == 1)
     return compress_impl<double>(static_cast<const double*>(data), n,
-                                 error_bound, qt_mode, out, out_cap);
+                                 error_bound, qt_mode, verify, out, out_cap);
   return compress_impl<float>(static_cast<const float*>(data), n, error_bound,
-                              qt_mode, out, out_cap);
+                              qt_mode, verify, out, out_cap);
+}
+
+size_t dctz_ref_compress(int datatype, int qt_mode, const void* data,
+                         uint32_t n, double error_bound, uint8_t* out,
+                         size_t out_cap) {
+  return dctz_ref_compress_v(datatype, qt_mode, 0, data, n, error_bound, out,
+                             out_cap);
 }
 
 // Returns >= 0 on success (1 if the container was QT mode), negative on error.

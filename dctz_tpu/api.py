@@ -939,7 +939,15 @@ def compress_sharded(
     out = run(n_pad // n_dev if layout == "global" else None)
     if layout == "chunked" and int(jax.device_get(out[4])) != 0:
         out = run(qz.chunk_width(n_pad // n_dev, cfg.block_size))
-    bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable = jax.device_get(out)
+    bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable, bound_ok = (
+        jax.device_get(out)
+    )
+    if cfg.verify and not bool(bound_ok):
+        warnings.warn(
+            "verify-repair could not fully satisfy the pointwise bound "
+            "(float32-truncation floor); see docs/numerics.md",
+            stacklevel=2,
+        )
 
     if layout == "chunked":
         capc = ac_bufs.shape[1]

@@ -38,8 +38,15 @@ def run_one(
     mode: str,
     engine: str = "jax",
     data_dir: str | None = None,
+    verify: bool = True,
 ) -> dict:
-    """One compression round trip -> metrics row."""
+    """One compression round trip -> metrics row.
+
+    verify defaults ON: the harness grades against the north-star's 100%
+    pointwise bound satisfaction (ops/repair.py); the reference's own check
+    is shipped disabled (util.c:96-102), so pass --no-verify to reproduce
+    its faithful (occasionally violating) behavior."""
+    from ..config import CodecConfig
     from ..utils.metrics import evaluate
 
     x = ds.load(data_dir)
@@ -47,19 +54,23 @@ def run_one(
     if engine == "native":
         from .. import native
 
-        blob = native.compress(x, error_bound, mode)
+        blob = native.compress(x, error_bound, mode, verify=verify)
         t1 = time.perf_counter()
         rec = native.decompress(blob)
     elif engine == "sharded":
         from .. import compress_sharded, decompress_sharded
 
-        blob = compress_sharded(x, error_bound, mode)
+        cfg = CodecConfig(
+            mode=mode, error_bound=error_bound, container="v2", verify=verify
+        )
+        blob = compress_sharded(x, config=cfg)
         t1 = time.perf_counter()
         rec = decompress_sharded(blob)
     else:
         from .. import compress, decompress
 
-        blob = compress(x, error_bound, mode)
+        cfg = CodecConfig(mode=mode, error_bound=error_bound, verify=verify)
+        blob = compress(x, config=cfg)
         t1 = time.perf_counter()
         rec = decompress(blob)
     t2 = time.perf_counter()
@@ -74,6 +85,7 @@ def run_one(
         "psnr_db": round(m["psnr_db"], 3),
         "max_rel_err": m["max_rel_err"],
         "bound_satisfied": m["bound_satisfied"],
+        "verify": verify,
         "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),
         "decompress_mb_s": round(x.nbytes / 1e6 / (t2 - t1), 2),
     }
@@ -101,6 +113,7 @@ def run_lossless_baseline(ds: Dataset, codec: str, data_dir: str | None = None) 
         "psnr_db": float("inf"),
         "max_rel_err": 0.0,
         "bound_satisfied": True,
+        "verify": False,
         "compress_mb_s": round(len(raw) / 1e6 / dt, 2),
         "decompress_mb_s": float("nan"),
     }
@@ -114,6 +127,7 @@ def sweep(
     lossless=("zlib",),
     data_dir: str | None = None,
     progress=print,
+    verify: bool = True,
 ):
     rows = []
     for ds in SUITES[suite]:
@@ -123,7 +137,9 @@ def sweep(
         for eb in bounds:
             for mode in modes:
                 for engine in engines:
-                    rows.append(run_one(ds, eb, mode, engine, data_dir))
+                    rows.append(
+                        run_one(ds, eb, mode, engine, data_dir, verify)
+                    )
                     progress(json.dumps(rows[-1]))
     return rows
 
@@ -141,10 +157,20 @@ def main(argv=None) -> int:
     )
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out", default=None, help="CSV output path")
+    p.add_argument(
+        "--no-verify",
+        action="store_true",
+        help="disable the verify-repair pass (reference-faithful behavior)",
+    )
     args = p.parse_args(argv)
 
     rows = sweep(
-        args.suite, args.bounds, args.modes, args.engines, data_dir=args.data_dir
+        args.suite,
+        args.bounds,
+        args.modes,
+        args.engines,
+        data_dir=args.data_dir,
+        verify=not args.no_verify,
     )
     if args.out:
         with open(args.out, "w", newline="") as f:

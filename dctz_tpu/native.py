@@ -41,8 +41,9 @@ def _load() -> ctypes.CDLL | None:
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.dctz_ref_compress.restype = ctypes.c_size_t
-        lib.dctz_ref_compress.argtypes = [
+        lib.dctz_ref_compress_v.restype = ctypes.c_size_t
+        lib.dctz_ref_compress_v.argtypes = [
+            ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_void_p,
@@ -98,8 +99,13 @@ def available() -> bool:
     return _load() is not None
 
 
-def compress(x: np.ndarray, error_bound: float, mode: str = "ec") -> bytes:
-    """Native reference compression -> v1 container bytes."""
+def compress(
+    x: np.ndarray, error_bound: float, mode: str = "ec", verify: bool = False
+) -> bytes:
+    """Native reference compression -> v1 container bytes.
+
+    verify=True runs the C++ verify-and-repair pass (the pointwise-bound
+    guarantee; reference-faithful behavior keeps it off)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native codec unavailable (build failed?)")
@@ -112,9 +118,10 @@ def compress(x: np.ndarray, error_bound: float, mode: str = "ec") -> bytes:
         raise TypeError(f"unsupported dtype {x.dtype}")
     cap = 56 + 2 * x.nbytes + 4 * x.size + 4096
     out = np.empty(cap, np.uint8)
-    size = lib.dctz_ref_compress(
+    size = lib.dctz_ref_compress_v(
         dt,
         1 if mode == "qt" else 0,
+        1 if verify else 0,
         x.ctypes.data,
         x.size,
         float(error_bound),

@@ -91,15 +91,19 @@ def verify_repair(
     dc: jax.Array,
     qtable: jax.Array | None,
     n_decode: int,
-    n_valid: int,
+    n_valid,
     cfg: CodecConfig,
+    tol: jax.Array | None = None,
 ):
     """Verify the pointwise bound and force-escape offending coefficients.
 
     x: the input array as the encoder saw it (length n_decode; positions
-    >= n_valid are padding). coeffs: the scaled-domain DCT coefficients
-    (nblk, bs). Returns (bin_ids' uint8, dense_stored float32/dtype grid for
-    recompaction, ok bool scalar).
+    >= n_valid are padding — n_valid may be a traced scalar inside
+    shard_map). coeffs: the scaled-domain DCT coefficients (nblk, bs).
+    tol: pre-slacked absolute tolerance; None computes eb * range(x) * 0.99
+    locally (sharded callers pass the globally-reduced one). Returns
+    (bin_ids' uint8, dense_stored float32/dtype grid for recompaction,
+    ok bool scalar).
     """
     nblk, bs = coeffs.shape
     dtype = coeffs.dtype
@@ -111,14 +115,15 @@ def verify_repair(
     )
     valid = pos < n_valid
 
-    # pointwise tolerance: eb * value range (utils/metrics.evaluate), over
-    # the REAL elements only (fused-path zero padding must not widen it)
-    flat_pos = jnp.arange(x.shape[0])
-    xv_max = jnp.max(jnp.where(flat_pos < n_valid, x, -jnp.inf))
-    xv_min = jnp.min(jnp.where(flat_pos < n_valid, x, jnp.inf))
-    tol = (
-        (xv_max - xv_min) * jnp.asarray(cfg.error_bound, x.dtype) * _SLACK
-    )
+    if tol is None:
+        # pointwise tolerance: eb * value range (utils/metrics.evaluate),
+        # over the REAL elements only (zero padding must not widen it)
+        flat_pos = jnp.arange(x.shape[0])
+        xv_max = jnp.max(jnp.where(flat_pos < n_valid, x, -jnp.inf))
+        xv_min = jnp.min(jnp.where(flat_pos < n_valid, x, jnp.inf))
+        tol = (
+            (xv_max - xv_min) * jnp.asarray(cfg.error_bound, x.dtype) * _SLACK
+        )
 
     def block_errors(ids):
         dense = _stored_dense(coeffs, ids.astype(jnp.int32), ac_mask, cfg, qtable)

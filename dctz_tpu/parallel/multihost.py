@@ -2,36 +2,58 @@
 
 Single-controller sharding lives in parallel/sharding.py; this module adds
 the multi-process glue for real pod slices, following the standard JAX
-multi-host recipe:
+multi-host recipe. The reference has no distributed capability at all (its
+only concurrency is three pthreads, dctz-comp-lib.c:620-732) — this is the
+north-star new capability (BASELINE.json: >=1 TB/s aggregate on a pod
+slice).
 
-  * every host calls `init()` (jax.distributed.initialize from the standard
-    env vars or explicit coordinator address);
-  * the global 1-D mesh spans all chips of all hosts; each host feeds its
-    local block-aligned slice of the input (`host_slice`) via
-    `jax.make_array_from_process_local_data`;
-  * the device program is byte-identical to the single-host one —
-    encode_sharded's `lax.pmax` collectives ride ICI within a slice and DCN
-    across hosts (16 B for sf, 512 B for the QT table: negligible);
-  * every host materializes ONLY its own shards' streams
-    (`local_segments`), writes them as stream.py frames, and host 0 writes
-    the stream header — no host ever gathers the full array.
+Data flow — no host ever materializes the global array:
 
-This module is exercised on a single process in CI (n_hosts=1 degenerates
-to the single-controller path); the multi-process paths follow the exact
-jax.distributed API contract and are documented for pod deployment.
+  * every host calls `init()` (jax.distributed.initialize from standard env
+    vars or explicit coordinator address);
+  * the global 1-D mesh spans all chips of all hosts; each host feeds ONLY
+    its local block-aligned slice (`host_slice`) via
+    `jax.make_array_from_process_local_data` — a metadata operation, not a
+    gather;
+  * the device program is the same sharded encode as single-host:
+    encode_sharded's `lax.pmax/psum` collectives ride ICI within a host and
+    DCN across hosts (16 B for sf/mean, 512 B for the QT table, 4 B for the
+    verify flag: negligible);
+  * every host then reads ONLY its addressable output shards
+    (`_local_rows`), entropy-codes them, and packs ONE v2 container of its
+    slice (global sf/mean, local element count) wrapped as a stream.py
+    DTZS frame — `compress_multihost` returns this host's bytes (host 0's
+    start with the DTZS stream header);
+  * concatenating the per-host parts in process order (shared filesystem,
+    object store multipart, or plain `cat`) yields a valid DTZS stream that
+    a SINGLE process `dctz_tpu.decompress()` restores, and whose frames any
+    subset of hosts can restore independently (partial decode).
+
+CI exercises the real multi-process path with 2 `jax.distributed` CPU
+processes (tests/test_multihost.py) plus the single-process degenerate path;
+`__graft_entry__.dryrun_multichip` compiles the same program on a virtual
+8-device mesh.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import numpy as np
 
 import jax
 
 from ..config import CodecConfig
+from ..core import container as ct
+from ..core import entropy
 from . import sharding as sh
 
 
-def init(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+def init(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
     """Initialize jax.distributed (no-op when already initialized or when
     running single-process)."""
     if jax.process_count() > 1:
@@ -46,26 +68,65 @@ def init(coordinator_address: str | None = None, num_processes: int | None = Non
 
 
 def host_slice(n_total: int, block_size: int = 64) -> tuple[int, int]:
-    """[start, stop) of this host's contiguous block-aligned share of a
-    flat array of n_total elements (zero-padding handled by the caller)."""
+    """[start, stop) of this host's contiguous block-aligned share of the
+    PADDED flat array (zero-padding beyond n_total is the caller's to fill)."""
     nproc = jax.process_count()
     pid = jax.process_index()
     n_pad = sh.padded_size(n_total, jax.device_count(), block_size)
     per_host = n_pad // nproc
     assert per_host % block_size == 0
-    return pid * per_host, min((pid + 1) * per_host, n_pad)
+    return pid * per_host, (pid + 1) * per_host
 
 
-def global_input(local: np.ndarray, n_total: int, mesh) -> jax.Array:
-    """Assemble the distributed global array from per-host local slices."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _local_rows(arr) -> np.ndarray:
+    """Concatenate this process's addressable shards in global row order —
+    the only device->host transfer a host performs."""
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
-    n_pad = sh.padded_size(n_total, mesh.devices.size * jax.process_count()
-                           if mesh.devices.ndim == 1 else mesh.devices.size,
-                           64)
-    sharding = NamedSharding(mesh, P(sh.AXIS))
-    return jax.make_array_from_process_local_data(
-        sharding, local, global_shape=(n_pad,)
+
+def _pack_local_container(
+    bin_ids_l: np.ndarray,
+    dc_l: np.ndarray,
+    ac_l: np.ndarray,
+    n_local: int,
+    src_dtype: np.dtype,
+    sf: float,
+    mean: float,
+    qtable: np.ndarray | None,
+    cfg: CodecConfig,
+) -> bytes:
+    """One host's slice -> v2 container (global sf/mean, local length)."""
+    header = ct.Header(
+        dtype=src_dtype,
+        num_elements=n_local,
+        error_bound=cfg.error_bound,
+        ac_count=len(ac_l),
+        scaling_factor=sf,
+        mean=mean,
+        bindex_nbytes=0,
+        dc_nbytes=0,
+        ac_nbytes=0,
+        mode=cfg.mode,
+        block_size=cfg.block_size,
+        nbins=cfg.nbins,
+        truncate=cfg.truncate,
+    )
+    header.shuffle = cfg.shuffle
+    from ..api import _ids_streams
+
+    dcb, acb = dc_l.tobytes(), np.asarray(ac_l).tobytes()
+    if cfg.shuffle:
+        dcb = entropy.shuffle_bytes(dcb, dc_l.dtype.itemsize)
+        acb = entropy.shuffle_bytes(acb, np.asarray(ac_l).dtype.itemsize)
+    streams = _ids_streams(bin_ids_l.reshape(-1).tobytes(), cfg, header) + (
+        entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
+        entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+    )
+    return ct.pack_v2(
+        header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes
     )
 
 
@@ -76,31 +137,126 @@ def compress_multihost(
     mode: str = "ec",
     *,
     config: CodecConfig | None = None,
-):
-    """Compress a distributed array; returns this host's stream segment
-    bytes plus the (replicated) global header fields.
+) -> bytes:
+    """Compress a distributed array; returns THIS HOST's bytes of the global
+    DTZS stream (host 0's include the stream header; every host appends one
+    frame). Concatenated in process order the parts form a stream that
+    `dctz_tpu.decompress()` restores in one process.
 
-    Single-process runs degenerate to api.compress_sharded on the local
-    data. Multi-process: the caller writes segments as stream.py frames
-    (host 0 first), yielding a valid DTZS stream of the global array.
+    `local` is this host's slice per `host_slice(n_total)` — the last host
+    may pass fewer elements than its slice; the remainder is zero-padded
+    here. Single-process runs degenerate to api.compress_sharded.
     """
-    if jax.process_count() == 1:
-        from ..api import compress_sharded
+    import struct
 
-        return compress_sharded(local, error_bound, mode, config=config)
-
-    # Multi-process path: global mesh over every chip in the slice.
-    import dataclasses
-
-    from ..api import compress_sharded
+    from .. import stream as dstream
 
     cfg = config or CodecConfig(
         mode=mode, error_bound=error_bound, container="v2"
     )
     if cfg.container != "v2":
         cfg = dataclasses.replace(cfg, container="v2")
+    if jax.process_count() == 1:
+        from ..api import compress_sharded
+
+        blob = compress_sharded(local, config=cfg)
+        head = dstream._HDR.pack(dstream.MAGIC, 1, 0, n_total)
+        return (
+            head
+            + dstream._FRAME.pack(len(blob))
+            + blob
+            + dstream._FRAME.pack(0)
+        )
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    src_dtype = np.dtype(getattr(local, "dtype", np.float64))
+    local = np.asarray(local).reshape(-1)
+    if local.dtype == np.float64 and not jax.config.jax_enable_x64:
+        local = local.astype(np.float32)
+
+    lo, hi = host_slice(n_total, cfg.block_size)
+    share = hi - lo
+    if local.shape[0] < share:  # zero-pad the tail host's slice
+        local = np.concatenate(
+            [local, np.zeros(share - local.shape[0], local.dtype)]
+        )
+    if local.shape[0] != share:
+        raise ValueError(
+            f"host {pid} got {local.shape[0]} elements, expected <= {share} "
+            f"(host_slice of {n_total})"
+        )
+    n_local_real = max(0, min(n_total - lo, share))
+
     mesh = sh.make_mesh()  # all global devices
-    garr = global_input(np.asarray(local).reshape(-1), n_total, mesh)
-    # encode_sharded operates on the global array; each host's device_get of
-    # addressable shards yields only its local streams.
-    return compress_sharded(garr, config=cfg, mesh=mesh)
+    n_pad = sh.padded_size(n_total, jax.device_count(), cfg.block_size)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(sh.AXIS)), local, global_shape=(n_pad,)
+    )
+
+    from ..core import quantize as qz
+    from ..ops import compaction as cp
+
+    layout = "chunked" if cp.use_chunked_compaction() else "global"
+    n_dev = mesh.devices.size
+
+    def run(ac_capacity):
+        return sh.encode_sharded(
+            garr,
+            n_real=n_total,
+            cfg=_mh_device_cfg(cfg),
+            ac_capacity=ac_capacity,
+            mesh=mesh,
+            compaction=layout,
+        )
+
+    out = run(n_pad // n_dev if layout == "global" else None)
+    if layout == "chunked" and int(jax.device_get(out[4])) != 0:
+        out = run(qz.chunk_width(n_pad // n_dev, cfg.block_size))
+    bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable, _ok = out
+
+    # addressable shards only — each host holds exactly its slice's rows
+    bin_ids_l = _local_rows(bin_ids)
+    dc_l = _local_rows(dc)
+    if layout == "chunked":
+        rows_l = _local_rows(ac_bufs)
+        counts_l = _local_rows(ac_counts)
+        capc = rows_l.shape[1]
+        ac_l = rows_l[np.arange(capc)[None, :] < counts_l[:, None]]
+    else:
+        rows_l = _local_rows(ac_bufs)
+        counts_l = _local_rows(ac_counts)
+        ac_l = (
+            np.concatenate(
+                [rows_l[d, : int(counts_l[d])] for d in range(rows_l.shape[0])]
+            )
+            if counts_l.sum()
+            else np.zeros((0,), rows_l.dtype)
+        )
+    sf_v = float(jax.device_get(sf))
+    mean_v = float(jax.device_get(mean))
+    qt = (
+        np.asarray(jax.device_get(qtable)) if cfg.mode == "qt" else None
+    )
+
+    parts = []
+    if pid == 0:
+        parts.append(dstream._HDR.pack(dstream.MAGIC, 1, 0, n_total))
+    if n_local_real > 0:  # all-padding hosts contribute no frame
+        blob = _pack_local_container(
+            bin_ids_l, dc_l, ac_l, n_local_real, src_dtype, sf_v, mean_v, qt,
+            cfg,
+        )
+        parts.append(dstream._FRAME.pack(len(blob)))
+        parts.append(blob)
+    if pid == nproc - 1:
+        parts.append(dstream._FRAME.pack(0))
+    return b"".join(parts)
+
+
+def _mh_device_cfg(cfg: CodecConfig) -> CodecConfig:
+    from ..api import _device_cfg
+
+    return _device_cfg(cfg)

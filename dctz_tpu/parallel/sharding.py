@@ -71,7 +71,46 @@ def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name, compaction):
         coeffs, n_local, cfg, ac_capacity, axis_name=axis_name,
         compaction=compaction,
     )
-    return q, sf, mean
+    ok = jnp.bool_(True)
+    if cfg.verify:
+        # pointwise tolerance needs the GLOBAL value range over real
+        # elements only — two more 8-byte pmax/pmin on ICI; the repair
+        # itself is entirely shard-local (blocks never cross shards).
+        from ..ops import repair
+
+        idx = jax.lax.axis_index(axis_name)
+        gpos = idx * n_local + jnp.arange(n_local)
+        real = gpos < n_real
+        vmax = jax.lax.pmax(
+            jnp.max(jnp.where(real, x_local, -jnp.inf)), axis_name
+        )
+        vmin = jax.lax.pmin(
+            jnp.min(jnp.where(real, x_local, jnp.inf)), axis_name
+        )
+        tol = (
+            (vmax - vmin)
+            * jnp.asarray(cfg.error_bound, x_local.dtype)
+            * repair._SLACK
+        )
+        n_valid_local = jnp.clip(n_real - idx * n_local, 0, n_local)
+        ids2, dense, ok = repair.verify_repair(
+            x_local,
+            coeffs,
+            sf,
+            q.bin_ids,
+            q.dc,
+            q.qtable,
+            n_local,
+            n_valid_local,
+            cfg,
+            tol,
+        )
+        ok = jax.lax.pmin(ok.astype(jnp.int32), axis_name).astype(jnp.bool_)
+        q = qz.repack(
+            ids2, dense, q.dc, q.qtable, n_local, cfg, ac_capacity,
+            compaction,
+        )
+    return q, sf, mean, ok
 
 
 @functools.partial(
@@ -99,13 +138,16 @@ def encode_sharded(
     qt = cfg.mode == "qt"
 
     def body(x_local):
-        q, sf, mean = _local_encode(
+        q, sf, mean, ok = _local_encode(
             x_local, n_real, cfg, ac_capacity, AXIS, compaction
         )
         qtable = q.qtable if qt else jnp.zeros((cfg.block_size,), x_local.dtype)
         if compaction == "chunked":
             overflow = jax.lax.pmax(q.overflowed.astype(jnp.int32), AXIS)
-            return (q.bin_ids, q.dc, q.ac_buf, q.ac_count, overflow, sf, mean, qtable)
+            return (
+                q.bin_ids, q.dc, q.ac_buf, q.ac_count, overflow, sf, mean,
+                qtable, ok,
+            )
         return (
             q.bin_ids,
             q.dc,
@@ -115,13 +157,16 @@ def encode_sharded(
             sf,
             mean,
             qtable,
+            ok,
         )
 
     out = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(AXIS),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
+        out_specs=(
+            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(), P(),
+        ),
     )(x_padded)
     return out
 

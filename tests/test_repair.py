@@ -67,6 +67,22 @@ def test_verify_with_dpk_container():
     assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
 
 
+def test_sharded_verify_repairs_bound():
+    """Sharded encode with verify: global-range tol via pmax/pmin, repair
+    shard-local, all-shards ok flag."""
+    from dctz_tpu import compress_sharded
+    from dctz_tpu.parallel import sharding as sh
+
+    x = _load("sedov")
+    mesh = sh.make_mesh()
+    y0 = dctz_tpu.decompress(compress_sharded(x, 1e-3, "ec", mesh=mesh))
+    assert not dctz_tpu.evaluate(x, y0, 1e-3)["bound_satisfied"]
+
+    cfg = CodecConfig(mode="ec", error_bound=1e-3, container="v2", verify=True)
+    y = dctz_tpu.decompress(compress_sharded(x, config=cfg, mesh=mesh))
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+
 def test_repair_fused_wrapper():
     """_repair_fused (the TPU fused path's repair program, pure XLA) must
     fix the bound given the fused pipeline's (ids, dc) inputs."""

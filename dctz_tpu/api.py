@@ -177,13 +177,13 @@ def _stats_device(x_padded: jax.Array, n_real: int, sf_adj: int):
 
 
 def _fused_eligible(cfg: CodecConfig, arr: jax.Array, n: int) -> bool:
-    """The Pallas fused EC kernel handles the default geometry on TPU-like
-    backends; v1 containers additionally need n % 128 == 0 (no padding
-    allowed in the reference stream layout)."""
+    """The Pallas fused kernels (EC single-pass, QT two-pass) handle the
+    default geometry on TPU-like backends; v1 containers additionally need
+    n % 1024 == 0 (no padding allowed in the reference stream layout)."""
     from .ops.compaction import use_chunked_compaction
 
     return (
-        cfg.mode == "ec"
+        cfg.mode in ("ec", "qt")
         and cfg.truncate
         and cfg.block_size == 64
         and cfg.nbins == C.NBINS
@@ -195,8 +195,8 @@ def _fused_eligible(cfg: CodecConfig, arr: jax.Array, n: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _repair_fused(arr, sf, ids, dc, n, cfg, capc):
-    """Verify-repair for the fused EC path: recompute the coefficients (XLA
+def _repair_fused(arr, sf, ids, dc, n, cfg, capc, qtable=None):
+    """Verify-repair for the fused path: recompute the coefficients (XLA
     matmul; ulp-level differences vs the Pallas kernel are absorbed by the
     bin-id indirection — reconstruction reads ids/stored values, both of
     which stay self-consistent), repair, recompact."""
@@ -208,7 +208,7 @@ def _repair_fused(arr, sf, ids, dc, n, cfg, capc):
     main_c, tail_c = transform.forward(xs, cfg.block_size)
     coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
     ids2, dense32, ok = repair.verify_repair(
-        arr, coeffs, sf, ids, dc, None, n_pad, n, cfg
+        arr, coeffs, sf, ids, dc, qtable, n_pad, n, cfg
     )
     col = jax.lax.broadcasted_iota(jnp.int32, ids2.shape, 1)
     esc = (ids2.astype(jnp.int32) == C.ESCAPE) & (col >= 1)
@@ -233,19 +233,32 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             arr = jnp.concatenate([arr, jnp.zeros((pad,), arr.dtype)])
         n_pad = n + pad
         sf, mean = _stats_device(arr, n, cfg.sf_adj)
-        out = fe.fused_encode_pipeline(arr, sf, cfg.error_bound, None)
+        pipeline = (
+            fe.fused_encode_pipeline_qt
+            if cfg.mode == "qt"
+            else fe.fused_encode_pipeline
+        )
+        out = pipeline(arr, sf, cfg.error_bound, None)
         if bool(jax.device_get(out[4])):
-            out = fe.fused_encode_pipeline(
+            out = pipeline(
                 arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
             )
         ids, dc, ac_chunks, counts = out[:4]
+        qtable_dev = out[5] if cfg.mode == "qt" else None
         bound_ok = None
         if cfg.verify:
             rcfg = _device_cfg(cfg)
-            rep = _repair_fused(arr, sf, ids, dc, n, rcfg, None)
+            rep = _repair_fused(arr, sf, ids, dc, n, rcfg, None, qtable_dev)
             if bool(jax.device_get(rep[3])):
                 rep = _repair_fused(
-                    arr, sf, ids, dc, n, rcfg, chunk_width(n_pad, cfg.block_size)
+                    arr,
+                    sf,
+                    ids,
+                    dc,
+                    n,
+                    rcfg,
+                    chunk_width(n_pad, cfg.block_size),
+                    qtable_dev,
                 )
             ids, ac_chunks, counts, _, bound_ok = rep
         if dpk:
@@ -266,6 +279,12 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             ids, dc, ac_chunks, counts, sf, mean = jax.device_get(
                 (ids, dc, ac_chunks, counts, sf, mean)
             )
+        qtable = None
+        if qtable_dev is not None:
+            qtable = np.asarray(jax.device_get(qtable_dev))
+            # reference quirk: slot 0 = DC of the last REAL block
+            # (dctz-comp-lib.c:355-360); padding blocks don't count
+            qtable[0] = dc[-(-n // cfg.block_size) - 1]
     capc = ac_chunks.shape[1]
     ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
 
@@ -308,7 +327,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
                 entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
             )
-            return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
+            return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
     stream_len = n if cfg.container == "v1" else n_pad
     flat_ids = ids.reshape(-1)[:stream_len]
     with timer.stage("zlib"):
@@ -322,7 +341,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 len(dz),
                 len(az),
             )
-            return ct.pack_v1(header, bz, dz, az, None)
+            return ct.pack_v1(header, bz, dz, az, qtable)
         header.shuffle = cfg.shuffle
         dcb, acb = dc.tobytes(), ac.tobytes()
         if cfg.shuffle:
@@ -332,7 +351,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
             entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
         )
-        return ct.pack_v2(header, streams, None, cfg.chunk_bytes)
+        return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
 
 def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):

@@ -148,6 +148,7 @@ def encode(
     ac_capacity: int | None = None,
     axis_name: str | None = None,
     compaction: str = "auto",
+    promote: bool = True,
 ) -> Quantized:
     """Quantize padded block coefficients (nblk, bs); n is the true element
     count (static). Covers reference pass 1 + pass 2 for both modes.
@@ -191,7 +192,9 @@ def encode(
         # Pass 2: renormalize outliers toward the bin range edge
         # (dctz-comp-lib.c:484-533). C mixes float with the double error
         # bound, so run in the widest available dtype and round once.
-        wd = _work_dtype(dtype)
+        # promote=False keeps the value dtype (matches the f32-only Pallas
+        # QT kernel for equal-precision stream-equality tests).
+        wd = _work_dtype(dtype) if promote else dtype
         side = jnp.where(coeffs > rmax, rmax, rmin).astype(wd)
         qrow = qtable.astype(wd)[None, :]
         norm = (

@@ -24,8 +24,29 @@ spike spreads as ~|spike|*sqrt(2/64) into every coefficient), so any
 per-block capacity below 63 overflows on exactly the blocks that matter.
 Chunk-level sorting handles both regimes.
 
-EC mode only: QT's pass-2 renormalization needs a global qtable reduction
-between pass 1 and pass 2; QT uses the XLA path (quantize.encode).
+QT mode runs as TWO kernels with an XLA reduction between them (the qtable
+must see pass-1 maxima from ALL blocks before pass 2 renormalizes,
+dctz-comp-lib.c:355-398 vs :478-544):
+
+  pass 1 (_kernel_qmax): scale + DCT + escape detection only; accumulates
+      the per-lane max |escaped coefficient| into one (8, 128) VMEM block
+      across grid steps (TPU grids run sequentially, so read-modify-write
+      accumulation into a fixed output block is well-defined). Reads x once,
+      writes 4 KB — no ids/dcac traffic.
+  glue: fold (8, 128) -> (64,) position maxima, clamp >= 1.0
+      (dctz-comp-lib.c:450-461); slot 0 is patched AFTER pass 2 with the
+      last block's DC (the decoder never reads it).
+  pass 2 (_kernel_qt): recompute coefficients (an extra MXU matmul is
+      cheaper than round-tripping them through HBM), renormalize escapes
+      through the qtable, re-bin renormalized values that land in range
+      (faithful to dctz-comp-lib.c:494-533), emit ids + dcac exactly like
+      the EC kernel.
+
+Precision note: the renormalization runs in f32 on the TPU (the reference
+mixes float with double error-bound arithmetic; the XLA path reproduces
+that with f64 intermediates when x64 is enabled). Stored values can differ
+from the C stream by 1 ulp with ~2^-29 probability per escape — documented
+in docs/numerics.md.
 """
 
 from __future__ import annotations
@@ -76,6 +97,169 @@ def _kernel(sf_ref, geom_ref, x_ref, bd_ref, ids_ref, dcac_ref):
 
     keep = is_dc | ~in_range
     dcac_ref[:] = jnp.where(keep, coef, jnp.zeros_like(coef))
+
+
+def _kernel_qmax(sf_ref, geom_ref, x_ref, bd_ref, qmax_ref):
+    """QT pass 1: per-lane max |escaped coefficient|, accumulated across
+    grid steps into one fixed (8, 128) output block."""
+    r = x_ref.shape[0]
+    rmin = geom_ref[0]
+    rmax = geom_ref[1]
+
+    xs = x_ref[:] / sf_ref[0]
+    coef = jnp.dot(
+        xs,
+        bd_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    is_dc = (col % BS) == 0
+    escape = ~((coef >= rmin) & (coef <= rmax)) & ~is_dc
+    mag = jnp.where(escape, jnp.abs(coef), jnp.zeros_like(coef))
+    tile_max = jnp.max(mag.reshape(r // 8, 8, LANES), axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        qmax_ref[:] = jnp.zeros_like(qmax_ref)
+
+    qmax_ref[:] = jnp.maximum(qmax_ref[:], tile_max)
+
+
+def _kernel_qt(sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref):
+    """QT pass 2: renormalize escapes through the (replicated) qtable,
+    re-bin values that land in range, emit ids + dcac like the EC kernel."""
+    r = x_ref.shape[0]
+    rmin = geom_ref[0]
+    rmax = geom_ref[1]
+    w = geom_ref[2]
+    eb = geom_ref[3]
+    qtf = geom_ref[4]
+    nbins = C.NBINS
+
+    xs = x_ref[:] / sf_ref[0]
+    coef = jnp.dot(
+        xs,
+        bd_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    is_dc = (col % BS) == 0
+    in_range = (coef >= rmin) & (coef <= rmax)
+    escape = ~in_range & ~is_dc
+
+    qrow = qt_ref[0:1, :]  # (1, 128) broadcasts over rows
+    side = jnp.where(coef > rmax, rmax, rmin)
+    # multiply by eb THEN qt_factor — the same rounding order as the C
+    # expression (dctz-comp-lib.c:515) and the XLA path
+    norm = ((coef / qrow) * eb) * qtf + side  # f32 (see module docstring)
+    eff = jnp.where(escape, norm, coef)
+    re_in = (eff >= rmin) & (eff <= rmax)  # original bins stay in range
+
+    lin = jnp.clip(((eff - rmin) / w).astype(jnp.int32), 0, nbins - 1)
+    half = nbins // 2
+    zz = jnp.where(lin <= half, 2 * (half - lin), 2 * (lin - half) - 1)
+    ids_ref[:] = jnp.where(
+        re_in & ~is_dc, zz, jnp.full_like(zz, C.ESCAPE)
+    ).astype(jnp.uint8)
+
+    keep_exact = ~re_in & ~is_dc  # still-out-of-range after renorm
+    dcac_ref[:] = jnp.where(
+        is_dc, coef, jnp.where(keep_exact, norm, jnp.zeros_like(coef))
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fused_encode_qt(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    brsf: float = 1.0,
+    interpret: bool = False,
+):
+    """Two-kernel QT encode; same contract as fused_encode_ec plus the
+    (64,) qtable with slot 0 = the last block's DC (the reference quirk,
+    dctz-comp-lib.c:355-360)."""
+    n = x.shape[0]
+    assert n % (LANES * 8) == 0, n
+    rows = n // LANES
+    tile_r = next(t for t in (512, 256, 128, 64, 32, 16, 8) if rows % t == 0)
+    grid = rows // tile_r
+
+    half = C.NBINS // 2
+    w = error_bound * 2.0 * brsf
+    rmax = (half * 2 + 1) * (error_bound * brsf)
+    qtf = 10.0 if C.NBINS == 255 else 2000.0
+    geom = jnp.asarray([-rmax, rmax, w, error_bound, qtf], jnp.float32)
+    bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
+    x2 = x.reshape(rows, LANES)
+    sf1 = sf.reshape(1).astype(jnp.float32)
+
+    qmax = pl.pallas_call(
+        _kernel_qmax,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        interpret=interpret,
+    )(sf1, geom, x2, bd)
+
+    colmax = jnp.max(qmax, axis=0)
+    col64 = jnp.maximum(colmax[:BS], colmax[BS:])
+    # clamp >= 1.0 (slot 0 is patched by the caller with the last DC)
+    qtable = jnp.maximum(col64, jnp.float32(1.0))
+
+    ids, dcac = pl.pallas_call(
+        _kernel_qt,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (8, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        sf1,
+        geom,
+        x2,
+        bd,
+        jnp.broadcast_to(jnp.concatenate([qtable, qtable])[None, :], (8, LANES)),
+    )
+
+    nblk = n // BS
+    return ids.reshape(nblk, BS), dcac.reshape(nblk, BS), qtable
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -165,3 +349,32 @@ def fused_encode_pipeline(
         min(capc or cp.CAPC, cw),
     )
     return ids, dc, ac_chunks, counts, overflow
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fused_encode_pipeline_qt(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    capc: int | None = None,
+    interpret: bool = False,
+):
+    """QT twin of fused_encode_pipeline; adds the (64,) qtable output
+    (slot 0 already patched with the last block's DC)."""
+    from ..core.quantize import chunk_width
+    from . import compaction as cp
+
+    ids, dcac, qtable = fused_encode_qt(x, sf, error_bound, 1.0, interpret)
+    n = x.shape[0]
+    dc = dcac[:, 0]
+    qtable = qtable.at[0].set(dc[-1])
+    col = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+    esc = (ids == C.ESCAPE) & (col >= 1)
+    cw = chunk_width(n, BS)
+    ac_chunks, counts, overflow = cp.compact_chunked(
+        esc.reshape(-1),
+        dcac.reshape(-1),
+        cw,
+        min(capc or cp.CAPC, cw),
+    )
+    return ids, dc, ac_chunks, counts, overflow, qtable

@@ -74,3 +74,39 @@ def test_fused_scaling_applied():
         jnp.asarray(x / 100.0), jnp.float32(1.0), 1e-3, 1.0, True
     )
     np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+
+
+@pytest.mark.parametrize("name", ["smooth", "spiky", "noisy", "zeros"])
+def test_fused_qt_matches_xla_path(name):
+    """QT two-kernel pipeline vs the XLA QT encoder at EQUAL precision
+    (promote=False: the kernel renormalizes in f32; the XLA path's default
+    f64 intermediates exist for C parity): identical ids, DC and qtable;
+    renormalized AC values within 1 ulp (XLA contracts the mul+add chain
+    into an FMA on CPU, interpret mode rounds each op — docs/numerics.md)."""
+    n = 1024 * 24
+    x = _signals(n)[name]
+    sf = jnp.float32(1.0)
+    cfg = CodecConfig(mode="qt", error_bound=1e-3)
+
+    out = fe.fused_encode_pipeline_qt(jnp.asarray(x), sf, 1e-3, None, True)
+    if bool(out[4]):
+        cw = qz.chunk_width(n, 64)
+        out = fe.fused_encode_pipeline_qt(jnp.asarray(x), sf, 1e-3, cw, True)
+        assert not bool(out[4])
+    ids, dc, ac_chunks, counts, _, qtable = out
+
+    coeffs = transform.block_dct_flat(jnp.asarray(x), 64)
+    q = qz.encode(coeffs, n, cfg, compaction="global", promote=False)
+
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(q.bin_ids))
+    np.testing.assert_array_equal(np.asarray(dc), np.asarray(q.dc))
+    # slot 0 carries the last block's DC quirk in both paths
+    np.testing.assert_allclose(
+        np.asarray(qtable)[1:], np.asarray(q.qtable)[1:].astype(np.float32)
+    )
+    capc = ac_chunks.shape[1]
+    sel = np.arange(capc)[None, :] < np.asarray(counts)[:, None]
+    ac = np.asarray(ac_chunks)[sel]
+    np.testing.assert_allclose(
+        ac, np.asarray(q.ac_buf[: int(q.ac_count)]), rtol=2e-7
+    )

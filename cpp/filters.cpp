@@ -141,6 +141,37 @@ size_t dctz_unpack_ids4(const uint8_t* packed, size_t n, const uint8_t* exc,
   return counts[T];
 }
 
+// Gather variable-length row prefixes into a tight stream (DPK container
+// host assembly: each fixed-capacity device row carries lens[i] real bytes).
+// Returns total bytes written.
+size_t dctz_pack_rows(const uint8_t* rows, size_t n_rows, size_t cap,
+                      const uint32_t* lens, uint8_t* out) {
+  std::vector<size_t> off(n_rows + 1, 0);
+  for (size_t i = 0; i < n_rows; ++i) off[i + 1] = off[i] + lens[i];
+  parallel_slices(n_rows, 1, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i)
+      std::memcpy(out + off[i], rows + i * cap, lens[i]);
+  });
+  return off[n_rows];
+}
+
+// Inverse: scatter a tight stream back into zeroed capacity rows.
+// Returns bytes consumed, or (size_t)-1 if any lens[i] > cap.
+size_t dctz_unpack_rows(const uint8_t* tight, size_t n_rows, size_t cap,
+                        const uint32_t* lens, uint8_t* rows) {
+  std::vector<size_t> off(n_rows + 1, 0);
+  for (size_t i = 0; i < n_rows; ++i) {
+    if (lens[i] > cap) return size_t(-1);
+    off[i + 1] = off[i] + lens[i];
+  }
+  std::memset(rows, 0, n_rows * cap);
+  parallel_slices(n_rows, 1, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i)
+      std::memcpy(rows + i * cap, tight + off[i], lens[i]);
+  });
+  return off[n_rows];
+}
+
 // HDF5-style byte shuffle: n bytes of `itemsize`-byte items -> planes.
 void dctz_shuffle(const uint8_t* in, size_t n, size_t itemsize, uint8_t* out) {
   size_t items = n / itemsize;

@@ -102,9 +102,11 @@ def _assemble_ac(q: qz.Quantized) -> tuple[np.ndarray, np.ndarray, int]:
     bin_ids, ac_chunks, counts = jax.device_get(
         (q.bin_ids, q.ac_buf, q.ac_count)
     )
-    capc = ac_chunks.shape[1]
-    sel = np.arange(capc)[None, :] < counts[:, None]
-    return ac_chunks[sel], bin_ids, int(counts.sum())
+    return (
+        entropy.take_row_prefixes(ac_chunks, counts),
+        bin_ids,
+        int(counts.sum()),
+    )
 
 
 def _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable):
@@ -285,8 +287,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             # reference quirk: slot 0 = DC of the last REAL block
             # (dctz-comp-lib.c:355-360); padding blocks don't count
             qtable[0] = dc[-(-n // cfg.block_size) - 1]
-    capc = ac_chunks.shape[1]
-    ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
+    ac = entropy.take_row_prefixes(ac_chunks, counts)
 
     header = ct.Header(
         dtype=src_dtype,
@@ -419,9 +420,8 @@ def _dpk_sections(
     exc_rows = np.asarray(exc_rows)
     exc_counts = np.asarray(exc_counts)
     bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-    tight = packed_rows[np.arange(packed_rows.shape[1])[None, :] < bpr[:, None]]
-    cape = exc_rows.shape[1]
-    exc_tight = exc_rows[np.arange(cape)[None, :] < exc_counts[:, None]]
+    tight = entropy.take_row_prefixes(packed_rows, bpr)
+    exc_tight = entropy.take_row_prefixes(exc_rows, exc_counts)
     meta = (
         struct.pack(_DPK_META_FMT, n_stream, tile_b, cw)
         + exc_counts.astype(np.uint16).tobytes()
@@ -464,9 +464,8 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
         ).reshape(bs, t)
         cap = tile_b // 2
         bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-        rows = np.zeros((rows_n, cap), np.uint8)
-        rows[np.arange(cap)[None, :] < bpr[:, None]] = np.frombuffer(
-            b"".join(packed_raw), np.uint8
+        rows = entropy.pad_row_prefixes(
+            b"".join(packed_raw), bpr, cap, np.uint8
         )
         exc_tight = np.frombuffer(entropy.chunked_inflate(exc_z), np.uint8)
         peak_e = int(exc_counts.max()) if rows_n else 0
@@ -475,8 +474,9 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             for c in [c for c in (16, 32, 64, 128) if c < tile_b] + [tile_b]
             if c >= min(peak_e, tile_b)
         )
-        exc_rows = np.zeros((rows_n, cape), np.uint8)
-        exc_rows[np.arange(cape)[None, :] < exc_counts[:, None]] = exc_tight
+        exc_rows = entropy.pad_row_prefixes(
+            exc_tight, exc_counts, cape, np.uint8
+        )
 
         dc_raw = entropy.chunked_inflate(dz)
         ac_raw = entropy.chunked_inflate(az)
@@ -503,9 +503,7 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             peak = int(ac_counts.max()) if ac_counts.size else 0
             tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
             capc = next(tt for tt in tiers if tt >= min(peak, cw))
-            ac_padded = np.zeros((ac_counts.size, capc), stored)
-            ac_padded[np.arange(capc)[None, :] < ac_counts[:, None]] = ac
-            ac = ac_padded
+            ac = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
         elif header.ac_count == 0:
             ac = np.zeros((1,), stored)
 
@@ -698,8 +696,7 @@ def compress(
                 ac, ac_count = ac_buf[: int(cnt)], int(cnt)
             else:
                 ac_chunks, counts = jax.device_get((q.ac_buf, q.ac_count))
-                capc = ac_chunks.shape[1]
-                ac = ac_chunks[np.arange(capc)[None, :] < counts[:, None]]
+                ac = entropy.take_row_prefixes(ac_chunks, counts)
                 ac_count = int(counts.sum())
             width, packed_rows, exc_rows, exc_counts = jax.device_get(pk)
             ac_counts = np.asarray(jax.device_get(ac_counts_dev))
@@ -861,9 +858,7 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
             peak = int(counts.max()) if counts.size else 0
             tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
             capc = next(t for t in tiers if t >= min(peak, cw))
-            ac_padded = np.zeros((counts.size, capc), stored)
-            ac_padded[np.arange(capc)[None, :] < counts[:, None]] = ac
-            ac = ac_padded
+            ac = entropy.pad_row_prefixes(ac, counts, capc, stored)
         elif header.ac_count == 0:
             ac = np.zeros((1,), stored)
 
@@ -969,9 +964,7 @@ def compress_sharded(
         )
 
     if layout == "chunked":
-        capc = ac_bufs.shape[1]
-        sel = np.arange(capc)[None, :] < ac_counts[:, None]
-        ac = ac_bufs[sel]
+        ac = entropy.take_row_prefixes(ac_bufs, ac_counts)
         counts_total = int(ac_counts.sum())
     else:
         counts = [int(c) for c in ac_counts]
@@ -1059,8 +1052,7 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
         peak = int(counts.max()) if counts.size else 0
         tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
         capc = next(t for t in tiers if t >= min(peak, cw))
-        ac_shards = np.zeros((counts.size, capc), stored)
-        ac_shards[np.arange(capc)[None, :] < counts[:, None]] = ac
+        ac_shards = entropy.pad_row_prefixes(ac, counts, capc, stored)
     else:
         # Per-shard AC segments: escapes per shard = (#ESCAPE marks) minus
         # the one DC mark per block.

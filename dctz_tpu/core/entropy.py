@@ -151,6 +151,43 @@ def unshuffle_bytes(data: bytes | memoryview, itemsize: int) -> bytes:
     return np.ascontiguousarray(a.reshape(itemsize, -1).T).tobytes()
 
 
+def take_row_prefixes(rows, lens) -> "np.ndarray":
+    """Gather lens[i] leading items of each capacity row into a tight 1-D
+    array (any itemsize). The threaded native memcpy loop when available;
+    the numpy boolean extract otherwise — identical bytes."""
+    import numpy as np
+
+    rows = np.ascontiguousarray(rows)
+    lens = np.asarray(lens, np.int64)
+    from .. import native
+
+    if native.available():
+        isz = rows.dtype.itemsize
+        flat = rows.view(np.uint8).reshape(rows.shape[0], -1)
+        return native.pack_rows(flat, lens * isz).view(rows.dtype)
+    mask = np.arange(rows.shape[1])[None, :] < lens[:, None]
+    return rows[mask]
+
+
+def pad_row_prefixes(tight, lens, cap: int, dtype) -> "np.ndarray":
+    """Inverse of take_row_prefixes -> zero-padded (len(lens), cap) rows."""
+    import numpy as np
+
+    dtype = np.dtype(dtype)
+    lens = np.asarray(lens, np.int64)
+    tight = np.frombuffer(tight, dtype) if isinstance(tight, (bytes, memoryview)) else np.ascontiguousarray(tight, dtype)
+    from .. import native
+
+    if native.available():
+        rows = native.unpack_rows(
+            tight.view(np.uint8), lens * dtype.itemsize, cap * dtype.itemsize
+        )
+        return rows.view(dtype).reshape(lens.size, cap)
+    rows = np.zeros((lens.size, cap), dtype)
+    rows[np.arange(cap)[None, :] < lens[:, None]] = tight
+    return rows
+
+
 def chunked_deflate(
     data: bytes | memoryview, chunk_bytes: int, level: int = 6, strategy: int = 0
 ) -> list[bytes]:

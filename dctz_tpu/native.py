@@ -82,6 +82,15 @@ def _load() -> ctypes.CDLL | None:
         for f in (lib.dctz_shuffle, lib.dctz_unshuffle):
             f.restype = None
             f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_void_p]
+        for f in (lib.dctz_pack_rows, lib.dctz_unpack_rows):
+            f.restype = ctypes.c_size_t
+            f.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
         # rANS codec (rans.cpp)
         lib.dctz_rans_bound.restype = ctypes.c_size_t
         lib.dctz_rans_bound.argtypes = [ctypes.c_size_t]
@@ -197,6 +206,42 @@ def unshuffle(data: np.ndarray, itemsize: int) -> bytes:
     out = np.empty(data.size, np.uint8)
     lib.dctz_unshuffle(data.ctypes.data, data.size, itemsize, out.ctypes.data)
     return out.tobytes()
+
+
+def pack_rows(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather per-row prefixes (lens[i] bytes of each capacity row) into a
+    tight stream — the DPK host-assembly hot loop, threaded memcpys."""
+    lib = _load()
+    rows = np.ascontiguousarray(rows, np.uint8)
+    lens32 = np.ascontiguousarray(lens, np.uint32)
+    out = np.empty(int(lens32.sum()), np.uint8)
+    n = lib.dctz_pack_rows(
+        rows.ctypes.data,
+        rows.shape[0],
+        rows.shape[1],
+        lens32.ctypes.data,
+        out.ctypes.data,
+    )
+    assert n == out.size
+    return out
+
+
+def unpack_rows(tight: np.ndarray, lens: np.ndarray, cap: int) -> np.ndarray:
+    """Inverse of pack_rows -> zero-padded (n_rows, cap) capacity rows."""
+    lib = _load()
+    tight = np.ascontiguousarray(tight, np.uint8)
+    lens32 = np.ascontiguousarray(lens, np.uint32)
+    rows = np.empty((lens32.size, cap), np.uint8)
+    n = lib.dctz_unpack_rows(
+        tight.ctypes.data, lens32.size, cap, lens32.ctypes.data, rows.ctypes.data
+    )
+    if n == ctypes.c_size_t(-1).value:
+        raise ValueError("row length exceeds capacity (corrupt container)")
+    if n != tight.size:
+        raise ValueError(
+            f"tight stream length mismatch: {tight.size} != {n} expected"
+        )
+    return rows
 
 
 def rans_compress(data: bytes) -> bytes:

@@ -223,8 +223,7 @@ def compress_multihost(
     if layout == "chunked":
         rows_l = _local_rows(ac_bufs)
         counts_l = _local_rows(ac_counts)
-        capc = rows_l.shape[1]
-        ac_l = rows_l[np.arange(capc)[None, :] < counts_l[:, None]]
+        ac_l = entropy.take_row_prefixes(rows_l, counts_l)
     else:
         rows_l = _local_rows(ac_bufs)
         counts_l = _local_rows(ac_counts)

@@ -29,6 +29,10 @@ qtable, so total size disambiguates.
 v2 — TPU-native chunked container: every stream is split into fixed-size
 chunks deflated independently, so both directions parallelize across host
 cores and shards can be packed without reassembling a monolithic stream.
+Format version 2 adds a crc32 per chunk (over the stored chunk bytes, next
+to its size table): a corrupted or truncated chunk fails loudly at parse
+time instead of desynchronizing downstream streams (e.g. the IDS4
+exception resync). Version-1 files (no checksums) stay decodable.
 """
 
 from __future__ import annotations
@@ -234,7 +238,7 @@ def pack_v2(
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
-        1,  # version
+        2,  # version 2 = per-chunk crc32 tables
         flags,
         header.num_elements,
         header.error_bound,
@@ -246,10 +250,17 @@ def pack_v2(
         0,  # reserved
         chunk_bytes,
     )
+    import zlib
+
     parts = [fixed]
     for chunks in streams_z:
         parts.append(struct.pack("<I", len(chunks)))
         parts.append(struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks]))
+        parts.append(
+            struct.pack(
+                f"<{len(chunks)}I", *[zlib.crc32(c) & 0xFFFFFFFF for c in chunks]
+            )
+        )
     for chunks in streams_z:
         parts.extend(chunks)
     if header.mode == "qt":
@@ -280,7 +291,7 @@ def parse_v2(
     ) = struct.unpack_from(_V2_FIXED_FMT, blob, 0)
     if magic != V2_MAGIC:
         raise ValueError("not a v2 container")
-    if version != 1:
+    if version not in (1, 2):
         raise ValueError(f"unsupported v2 container version {version}")
     dtype = np.dtype(np.float64 if flags & _FLAG_F64 else np.float32)
     mode = "qt" if flags & _FLAG_QT else "ec"
@@ -291,19 +302,33 @@ def parse_v2(
     else:
         nsections = 3
 
+    import zlib
+
     off = _V2_FIXED_SIZE
     tables: list[list[int]] = []
+    crcs: list[list[int]] = []
     for _ in range(nsections):
         (count,) = struct.unpack_from("<I", blob, off)
         off += 4
         sizes = list(struct.unpack_from(f"<{count}I", blob, off))
         off += 4 * count
         tables.append(sizes)
+        if version >= 2:
+            crcs.append(list(struct.unpack_from(f"<{count}I", blob, off)))
+            off += 4 * count
     streams: list[list[bytes]] = []
-    for sizes in tables:
+    for si, sizes in enumerate(tables):
         chunks = []
-        for sz in sizes:
-            chunks.append(bytes(blob[off : off + sz]))
+        for ci, sz in enumerate(sizes):
+            if off + sz > len(blob):
+                raise ValueError("truncated container: chunk past end")
+            c = bytes(blob[off : off + sz])
+            if version >= 2 and (zlib.crc32(c) & 0xFFFFFFFF) != crcs[si][ci]:
+                raise ValueError(
+                    f"corrupted container: crc mismatch in section {si} "
+                    f"chunk {ci}"
+                )
+            chunks.append(c)
             off += sz
         streams.append(chunks)
     qtable = None

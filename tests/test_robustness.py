@@ -41,6 +41,19 @@ def test_truncated_blob(blobs, fmt):
         assert not isinstance(ei.value, (SystemExit, MemoryError))
 
 
+def test_v2_chunk_crc_detects_corruption(blobs):
+    """A flipped byte inside any v2 chunk payload must raise a crc
+    ValueError at parse time instead of decoding garbage (the pre-checksum
+    format could silently desynchronize the IDS4 exception stream)."""
+    blob = bytearray(blobs["v2"])
+    # flip a byte well inside the payload area (past fixed header + tables)
+    for pos in (len(blob) // 2, len(blob) - 20):
+        b = bytearray(blob)
+        b[pos] ^= 0xFF
+        with pytest.raises(ValueError, match="crc|truncated|corrupt"):
+            ct.parse_v2(bytes(b))
+
+
 def test_v2_bad_version(blobs):
     blob = bytearray(blobs["v2"])
     blob[4] = 99  # version field

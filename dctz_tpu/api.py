@@ -403,7 +403,8 @@ def _dpk_pack_device(bin_ids_dev: jax.Array, n: int):
 
     out = idpack.pack_ids(bin_ids_dev, n, idpack.B_DEFAULT, idpack.CAPE)
     if bool(jax.device_get(out[4])):
-        out = idpack.pack_ids(bin_ids_dev, n, idpack.B_DEFAULT, idpack.B_DEFAULT)
+        # full-chunk-width capacity (pack_ids clamps): always lossless
+        out = idpack.pack_ids(bin_ids_dev, n, idpack.B_DEFAULT, 1 << 20)
     return out[:4]
 
 
@@ -452,11 +453,12 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
         t = idpack.tiles_of(nblk, tile_b)
         rows_n = bs * t
         off = _DPK_META_SIZE
-        exc_counts = np.frombuffer(meta, np.uint16, rows_n, off).astype(
+        n_chunks = (nblk * bs) // cw
+        exc_counts = np.frombuffer(meta, np.uint16, n_chunks, off).astype(
             np.int64
         )
         ac_counts = np.frombuffer(
-            meta, np.uint16, (nblk * bs) // cw, off + 2 * rows_n
+            meta, np.uint16, n_chunks, off + 2 * n_chunks
         ).astype(np.int64)
 
         width = np.frombuffer(
@@ -468,11 +470,11 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             b"".join(packed_raw), bpr, cap, np.uint8
         )
         exc_tight = np.frombuffer(entropy.chunked_inflate(exc_z), np.uint8)
-        peak_e = int(exc_counts.max()) if rows_n else 0
+        peak_e = int(exc_counts.max()) if exc_counts.size else 0
         cape = next(
             c
-            for c in [c for c in (16, 32, 64, 128) if c < tile_b] + [tile_b]
-            if c >= min(peak_e, tile_b)
+            for c in [c for c in (32, 64, 128, 256) if c < cw] + [cw]
+            if c >= min(peak_e, cw)
         )
         exc_rows = entropy.pad_row_prefixes(
             exc_tight, exc_counts, cape, np.uint8

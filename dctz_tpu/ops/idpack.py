@@ -14,26 +14,31 @@ Scheme (per docs/device-entropy-design.md Candidate A, refined):
 
   1. nibble = min(id, 15); DC positions (col 0, always the ESCAPE mark) and
      padding are forced to 0 — both are reconstructed, not stored.
-  2. transpose to (block_size, nblk) and tile each position row into runs of
-     B consecutive blocks.
-  3. per tile, choose a bit width w in {0,1,2,3,4} minimizing
+  2. tile the (position j) x (B consecutive blocks) grid; per tile choose a
+     bit width w in {0,1,2,3,4} minimizing
      w*B + EXC_BITS * count(nibble >= 2^w - 1): values below the marker
      thr = 2^w - 1 pack verbatim at w bits; values >= thr pack as the marker
-     and append their ORIGINAL id byte to a per-tile exception list
+     and append their ORIGINAL id byte to the exception stream
      (patched-frame-of-reference, generalizing the v2 IDS4 filter whose
      fixed w=4 / thr=15 is the special case).
-  4. w=0 tiles (all-zero: smooth data at high frequencies) emit nothing.
+  3. w=0 tiles (all-zero: smooth data at high frequencies) emit nothing.
+  4. exceptions ride the SAME block-major chunk-compaction machinery as the
+     AC stream (ops/compaction.py, chunk width = quantize.chunk_width):
+     per-tile exception lists are pathologically skewed (a low-frequency
+     position row can be ALL exceptions), while block-major chunks spread
+     them evenly — smaller capacities, one-hot expands the MXU actually
+     likes, and no second device transpose. The tight exception stream is
+     simply the exception bytes in global element order.
 
   Everything is static-shaped VPU work: width selection is a handful of
   tile reductions; packing is reshape + shift + or at each candidate width
-  with a per-tile select; exceptions compact through the same chunk-local
-  sort used for the AC stream (ops/compaction.py) and inflate back through
-  the same one-hot MXU contraction. No scatter/gather anywhere.
+  with a per-tile select; the only data movement is ONE uint8 transpose of
+  the nibble grid each way. No scatter/gather anywhere.
 
-  Measured on the bench workload (32Mi climate f32, EC 1E-3): 1.9 bits per
+  Measured on the bench workload (32Mi climate f32, EC 1E-3): ~1.9 bits per
   nibble INCLUDING deflated exceptions — better than the host rANS path's
-  2.4 (per-position exception lists are homogeneous, so the host deflate
-  of that small stream is extremely effective), at ~0 host cost for the
+  ~2.4 (per-position packing exposes the structure; the host deflate of the
+  small exception stream is extremely effective), at ~0 host cost for the
   dominant packed section.
 
 Container: the packed bytes, per-tile widths, exception stream and counts
@@ -52,7 +57,7 @@ from ..core import constants as C
 from . import compaction as cp
 
 B_DEFAULT = 256  # blocks per tile (128-byte max packed row)
-CAPE = 64  # default per-tile exception capacity (fallback: B)
+CAPE = 128  # default per-chunk exception capacity (fallback: chunk width)
 EXC_BITS = 8  # width-selection penalty per exception byte (pre-deflate)
 _WIDTHS = (0, 1, 2, 3, 4)
 _INF = jnp.int32(1 << 30)
@@ -107,6 +112,17 @@ def packed_nbytes(widths: np.ndarray, b: int) -> np.ndarray:
     return (widths.astype(np.int64) * b) // 8
 
 
+def _thr_block_major(width: jax.Array, nblk: int, b: int) -> jax.Array:
+    """Per-tile markers broadcast to the (nblk, bs) block-major grid."""
+    bs, t = width.shape
+    w32 = width.astype(jnp.int32)
+    thr = jnp.where(w32 > 0, (1 << w32) - 1, _INF)  # (bs, T)
+    thr_bm = jnp.broadcast_to(thr.T[:, None, :], (t, b, bs)).reshape(
+        t * b, bs
+    )
+    return thr_bm[:nblk]
+
+
 # ---------------------------------------------------------------------------
 # device encode
 # ---------------------------------------------------------------------------
@@ -120,10 +136,11 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
     n_valid: true element count (positions >= n_valid are coded as 0).
 
     Returns (widths (bs, T) uint8, packed (bs*T, b//2) uint8,
-    exc_rows (bs*T, cape) uint8, exc_counts (bs*T,) int32,
-    exc_overflow () bool, ac_counts... are NOT produced here — the AC
-    chunk counts come from the compaction stage).
+    exc_rows (nchunks, cape) uint8, exc_counts (nchunks,) int32,
+    exc_overflow () bool) where nchunks = nblk*bs / quantize.chunk_width.
     """
+    from ..core.quantize import chunk_width
+
     nblk, bs = ids2d.shape
     t = tiles_of(nblk, b)
 
@@ -131,16 +148,14 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)
     valid = (row * bs + col < n_valid) & (col >= 1)  # DC + padding -> 0
     ids_i = jnp.where(valid, ids2d.astype(jnp.int32), 0)
-    nib = jnp.minimum(ids_i, 15)
+    nib_bm = jnp.minimum(ids_i, 15).astype(jnp.uint8)  # (nblk, bs)
 
-    # transpose to position-major and pad the block axis to T*B
-    nib_t = nib.T  # (bs, nblk)
-    ids_t = ids_i.T
+    # ONE uint8 transpose to position-major tiles, padded to T*B blocks
+    nib_t = nib_bm.T
     pad = t * b - nblk
     if pad:
         nib_t = jnp.pad(nib_t, ((0, 0), (0, pad)))
-        ids_t = jnp.pad(ids_t, ((0, 0), (0, pad)))
-    tiles = nib_t.reshape(bs, t, b)
+    tiles = nib_t.reshape(bs, t, b).astype(jnp.int32)
 
     # width selection: cost(w) = w*B + EXC_BITS * #exceptions(w)
     maxv = jnp.max(tiles, axis=-1)
@@ -161,14 +176,14 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
         pk = jnp.pad(pk, ((0, 0), (0, 0), (0, cap - pk.shape[-1])))
         packed = jnp.where((width == wb)[..., None], pk, packed)
 
-    # exceptions: original id bytes wherever nibble >= marker
-    thr_sel = jnp.where(width > 0, (1 << width) - 1, _INF)
-    exc_mask = tiles >= thr_sel[..., None]
+    # exceptions: original id bytes wherever nibble >= marker, compacted in
+    # BLOCK-MAJOR chunks (global element order — same machinery as the AC
+    # stream, evenly loaded)
+    thr_bm = _thr_block_major(width, nblk, b)
+    exc_mask = nib_bm.astype(jnp.int32) >= thr_bm
+    cw = chunk_width(nblk * bs, bs)
     exc_rows, exc_counts, exc_ovf = cp.compact_chunked(
-        exc_mask.reshape(-1),
-        ids_t.reshape(-1).astype(jnp.int32),
-        b,
-        min(cape, b),
+        exc_mask.reshape(-1), ids_i.reshape(-1), cw, min(cape, cw)
     )
     return (
         width.astype(jnp.uint8),
@@ -212,25 +227,30 @@ def unpack_ids(
     """Inverse of pack_ids -> (nblk, bs) uint8 with DC marks restored.
 
     width: (bs, T) uint8/int32; packed: (bs*T, b//2) uint8 capacity rows;
-    exc_rows: (bs*T, cape) uint8. Positions beyond the original n decode to
-    id 0 (the caller slices by true length anyway).
+    exc_rows: (nchunks, cape) uint8 in block-major chunk order. Positions
+    beyond the original n decode to id 0 (the caller slices by true length).
     """
+    from ..core.quantize import chunk_width
+
     t = width.shape[-1]
     wcol = width.reshape(bs * t).astype(jnp.int32)
 
-    nib = jnp.zeros((bs * t, b), jnp.int32)
+    nib = jnp.zeros((bs * t, b), jnp.uint8)
     for wb in _WIDTHS[1:]:
         v = _unpack_w(packed, wb, b)
-        nib = jnp.where((wcol == wb)[:, None], v, nib)
+        nib = jnp.where((wcol == wb)[:, None], v.astype(jnp.uint8), nib)
 
-    thr = jnp.where(wcol > 0, (1 << wcol) - 1, _INF)
-    mask = nib == thr[:, None]
+    # ONE uint8 transpose back to block-major, then everything is local
+    nib_bm = nib.reshape(bs, t * b)[:, :nblk].T  # (nblk, bs)
+    thr_bm = _thr_block_major(width, nblk, b)
+    mask = nib_bm.astype(jnp.int32) == thr_bm
+    cw = chunk_width(nblk * bs, bs)
     # exception bytes return via the same one-hot contraction as the AC
     # stream; values <= 255 are exact in f32
-    exc = cp.expand_chunked(mask, exc_rows.astype(jnp.float32))
-    ids = jnp.where(mask, exc.astype(jnp.int32), nib)
-
-    ids = ids.reshape(bs, t * b)[:, :nblk].T  # (nblk, bs)
+    exc = cp.expand_chunked(
+        mask.reshape(-1, cw), exc_rows.astype(jnp.float32)
+    ).reshape(nblk, bs)
+    ids = jnp.where(mask, exc.astype(jnp.int32), nib_bm.astype(jnp.int32))
     col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)
     ids = jnp.where(col == 0, jnp.int32(C.ESCAPE), ids)
     return ids.astype(jnp.uint8)
@@ -245,19 +265,20 @@ def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
     """Pure-numpy reference of pack_ids (unbounded exception capacity).
 
     Returns (widths (bs,T) u8, tight_packed bytes, exceptions bytes,
-    exc_counts (bs*T,) i64) — tight (already host-assembled) layout."""
+    exc_counts per block-major chunk) — tight (host-assembled) layout."""
+    from ..core.quantize import chunk_width
+
     nblk, bs = ids2d.shape
     t = tiles_of(nblk, b)
     pos = np.arange(nblk * bs).reshape(nblk, bs)
     col = np.arange(bs)[None, :]
     valid = (pos < n_valid) & (col >= 1)
     ids_i = np.where(valid, ids2d.astype(np.int64), 0)
-    nib_t = np.minimum(ids_i, 15).T
-    ids_t = ids_i.T
+    nib_bm = np.minimum(ids_i, 15)
+    nib_t = nib_bm.T
     padw = t * b - nblk
     if padw:
         nib_t = np.pad(nib_t, ((0, 0), (0, padw)))
-        ids_t = np.pad(ids_t, ((0, 0), (0, padw)))
     tiles = nib_t.reshape(bs, t, b)
 
     maxv = tiles.max(axis=-1)
@@ -268,8 +289,6 @@ def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
     width = np.argmin(np.stack(costs), axis=0)
 
     out = []
-    excs = []
-    counts = np.zeros(bs * t, np.int64)
     for j in range(bs):
         for ti in range(t):
             wb = int(width[j, ti])
@@ -278,8 +297,8 @@ def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
                 continue
             thr = (1 << wb) - 1
             clipped = np.minimum(tile, thr)
-            g = 8 // wb if wb != 3 else 8
             if wb != 3:
+                g = 8 // wb
                 shifts = (np.arange(g) * wb).astype(np.int64)
                 by = (clipped.reshape(-1, g) << shifts).sum(axis=-1)
                 out.append(by.astype(np.uint8).tobytes())
@@ -290,12 +309,14 @@ def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
                     [w24 & 255, (w24 >> 8) & 255, (w24 >> 16) & 255], axis=-1
                 )
                 out.append(by.astype(np.uint8).tobytes())
-            em = tile >= thr
-            counts[j * t + ti] = em.sum()
-            excs.append(ids_t[j].reshape(t, b)[ti][em].astype(np.uint8).tobytes())
-    return (
-        width.astype(np.uint8),
-        b"".join(out),
-        b"".join(excs),
-        counts,
-    )
+
+    # exceptions: block-major (global element order)
+    thr_t = np.where(width > 0, (1 << width) - 1, 1 << 30)  # (bs, T)
+    thr_bm = np.broadcast_to(thr_t.T[:, None, :], (t, b, bs)).reshape(
+        t * b, bs
+    )[:nblk]
+    exc_mask = nib_bm >= thr_bm
+    exc = ids_i[exc_mask].astype(np.uint8)
+    cw = chunk_width(nblk * bs, bs)
+    counts = exc_mask.reshape(-1, cw).sum(axis=-1)
+    return width.astype(np.uint8), b"".join(out), exc.tobytes(), counts

@@ -33,7 +33,7 @@ def test_pack_unpack_roundtrip(b, heavy):
     n_valid = nblk * bs - 13  # partial tail block
 
     width, packed, exc_rows, exc_counts, ovf = idpack.pack_ids(
-        jnp.asarray(ids), n_valid, b, b
+        jnp.asarray(ids), n_valid, b, 1 << 20  # clamped to the chunk width
     )
     assert not bool(ovf)
     out = np.asarray(

@@ -47,6 +47,18 @@ class Dataset:
         seed = zlib.crc32(self.name.encode()) % (1 << 31)
         return generate(self.n, self.kind, seed).astype(self.np_dtype)
 
+    def source(self, data_dir: str | pathlib.Path | None = None) -> str:
+        """'real' when the reference dataset file is present, else
+        'synthetic' (generator shaped like the science domain). Recorded
+        per CSV row so quality claims are never silently unanchored."""
+        if self.path:
+            candidates = [pathlib.Path(self.path)]
+            if data_dir:
+                candidates.append(pathlib.Path(data_dir) / self.path)
+            if any(c.exists() for c in candidates):
+                return "real"
+        return "synthetic"
+
 
 # The MSST'19 suite (tests/list-msst19.txt:1-6; zc-patches/varInfo.txt:1-6).
 MSST19 = [

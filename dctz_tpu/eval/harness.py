@@ -78,6 +78,7 @@ def run_one(
     return {
         "compressor": f"dctz_{mode}_{engine}",
         "dataset": ds.name,
+        "source": ds.source(data_dir),
         "dtype": ds.dtype,
         "n": ds.n,
         "error_bound": error_bound,
@@ -106,6 +107,7 @@ def run_lossless_baseline(ds: Dataset, codec: str, data_dir: str | None = None) 
     return {
         "compressor": codec,
         "dataset": ds.name,
+        "source": ds.source(data_dir),
         "dtype": ds.dtype,
         "n": ds.n,
         "error_bound": 0.0,

@@ -283,7 +283,8 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             )
         qtable = None
         if qtable_dev is not None:
-            qtable = np.asarray(jax.device_get(qtable_dev))
+            # copy: device_get may hand back a read-only view
+            qtable = np.array(jax.device_get(qtable_dev))
             # reference quirk: slot 0 = DC of the last REAL block
             # (dctz-comp-lib.c:355-360); padding blocks don't count
             qtable[0] = dc[-(-n // cfg.block_size) - 1]

@@ -164,7 +164,22 @@ def main(argv=None) -> int:
         action="store_true",
         help="disable the verify-repair pass (reference-faithful behavior)",
     )
+    p.add_argument(
+        "--backend",
+        default="cpu",
+        help="jax platform for the sweep (default cpu: quality metrics are "
+        "backend-independent, f64 suites need x64, and CI/dev machines may "
+        "share one TPU attachment)",
+    )
     args = p.parse_args(argv)
+
+    import jax
+
+    # must run before first backend use (see CLAUDE.md: env vars alone do
+    # not override the force-registered TPU plugin)
+    jax.config.update("jax_platforms", args.backend)
+    if args.backend == "cpu":
+        jax.config.update("jax_enable_x64", True)
 
     rows = sweep(
         args.suite,

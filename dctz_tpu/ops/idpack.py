@@ -148,14 +148,16 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
     col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)
     valid = (row * bs + col < n_valid) & (col >= 1)  # DC + padding -> 0
     ids_i = jnp.where(valid, ids2d.astype(jnp.int32), 0)
-    nib_bm = jnp.minimum(ids_i, 15).astype(jnp.uint8)  # (nblk, bs)
+    nib_bm = jnp.minimum(ids_i, 15)  # (nblk, bs) int32
 
-    # ONE uint8 transpose to position-major tiles, padded to T*B blocks
+    # ONE transpose to position-major tiles, padded to T*B blocks.
+    # int32 lanes: XLA:TPU transposes sub-word (u8) data ~10x slower
+    # (measured 52 ms vs 7 ms for this shape).
     nib_t = nib_bm.T
     pad = t * b - nblk
     if pad:
         nib_t = jnp.pad(nib_t, ((0, 0), (0, pad)))
-    tiles = nib_t.reshape(bs, t, b).astype(jnp.int32)
+    tiles = nib_t.reshape(bs, t, b)
 
     # width selection: cost(w) = w*B + EXC_BITS * #exceptions(w)
     maxv = jnp.max(tiles, axis=-1)
@@ -180,7 +182,7 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
     # BLOCK-MAJOR chunks (global element order — same machinery as the AC
     # stream, evenly loaded)
     thr_bm = _thr_block_major(width, nblk, b)
-    exc_mask = nib_bm.astype(jnp.int32) >= thr_bm
+    exc_mask = nib_bm >= thr_bm
     cw = chunk_width(nblk * bs, bs)
     exc_rows, exc_counts, exc_ovf = cp.compact_chunked(
         exc_mask.reshape(-1), ids_i.reshape(-1), cw, min(cape, cw)
@@ -235,22 +237,23 @@ def unpack_ids(
     t = width.shape[-1]
     wcol = width.reshape(bs * t).astype(jnp.int32)
 
-    nib = jnp.zeros((bs * t, b), jnp.uint8)
+    nib = jnp.zeros((bs * t, b), jnp.int32)
     for wb in _WIDTHS[1:]:
         v = _unpack_w(packed, wb, b)
-        nib = jnp.where((wcol == wb)[:, None], v.astype(jnp.uint8), nib)
+        nib = jnp.where((wcol == wb)[:, None], v, nib)
 
-    # ONE uint8 transpose back to block-major, then everything is local
+    # ONE transpose back to block-major (int32 lanes — u8 transposes are
+    # ~10x slower on XLA:TPU), then everything is chunk-local
     nib_bm = nib.reshape(bs, t * b)[:, :nblk].T  # (nblk, bs)
     thr_bm = _thr_block_major(width, nblk, b)
-    mask = nib_bm.astype(jnp.int32) == thr_bm
+    mask = nib_bm == thr_bm
     cw = chunk_width(nblk * bs, bs)
     # exception bytes return via the same one-hot contraction as the AC
     # stream; values <= 255 are exact in f32
     exc = cp.expand_chunked(
         mask.reshape(-1, cw), exc_rows.astype(jnp.float32)
     ).reshape(nblk, bs)
-    ids = jnp.where(mask, exc.astype(jnp.int32), nib_bm.astype(jnp.int32))
+    ids = jnp.where(mask, exc.astype(jnp.int32), nib_bm)
     col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)
     ids = jnp.where(col == 0, jnp.int32(C.ESCAPE), ids)
     return ids.astype(jnp.uint8)

@@ -140,7 +140,7 @@ def _decode_device(
     return _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def _decode_device_dpk(
     width: jax.Array,
     packed_rows: jax.Array,
@@ -152,6 +152,7 @@ def _decode_device_dpk(
     dtype: str,
     ac_layout: str,
     tile_b: int,
+    cw: int,
     sf: jax.Array,
     qtable: jax.Array | None,
 ):
@@ -162,7 +163,7 @@ def _decode_device_dpk(
 
     nblk = -(-n // cfg.block_size)
     bin_ids = idpack.unpack_ids(
-        width, packed_rows, exc_rows, nblk, cfg.block_size, tile_b
+        width, packed_rows, exc_rows, nblk, cfg.block_size, tile_b, cw
     )
     return _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable)
 
@@ -264,7 +265,10 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 )
             ids, ac_chunks, counts, _, bound_ok = rep
         if dpk:
-            pk = _dpk_pack_device(ids, n)
+            # n_pad, not n: the fused path transforms whole zero-padded
+            # blocks, so every coefficient position in the padded grid
+            # carries real information (the decoder's n_stream = n_pad)
+            pk = _dpk_pack_device(ids, n_pad)
     if bound_ok is not None and not bool(jax.device_get(bound_ok)):
         warnings.warn(
             "verify-repair could not fully satisfy the pointwise bound "
@@ -464,7 +468,7 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
 
         width = np.frombuffer(
             entropy.chunked_inflate(widths_z), np.uint8, rows_n
-        ).reshape(bs, t)
+        ).reshape(t, bs)
         cap = tile_b // 2
         bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
         rows = entropy.pad_row_prefixes(
@@ -538,6 +542,7 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             work,
             ac_layout,
             tile_b,
+            cw,
             sf,
             qt,
         )
@@ -937,13 +942,17 @@ def compress_sharded(
         raise ValueError("cannot compress an empty array")
 
     from .ops import compaction as cp
+    from .ops import idpack
 
+    dpk = cfg.ids_codec == "device"
     mesh = mesh or sh.make_mesh()
-    x_sharded, n_pad = sh.shard_input(arr, mesh, cfg.block_size)
+    x_sharded, n_pad = sh.shard_input(
+        arr, mesh, cfg.block_size, idpack.B_DEFAULT if dpk else 1
+    )
     n_dev = mesh.devices.size
     layout = "chunked" if cp.use_chunked_compaction() else "global"
 
-    def run(ac_capacity):
+    def run(ac_capacity, cape=None):
         return sh.encode_sharded(
             x_sharded,
             n_real=n,
@@ -951,13 +960,24 @@ def compress_sharded(
             ac_capacity=ac_capacity,
             mesh=mesh,
             compaction=layout,
+            dpk=dpk,
+            cape=cape,
         )
 
-    out = run(n_pad // n_dev if layout == "global" else None)
-    if layout == "chunked" and int(jax.device_get(out[4])) != 0:
-        out = run(qz.chunk_width(n_pad // n_dev, cfg.block_size))
+    default_cap = n_pad // n_dev if layout == "global" else None
+    out = run(default_cap)
+    ac_over = layout == "chunked" and int(jax.device_get(out[4])) != 0
+    exc_over = dpk and int(jax.device_get(out[-1])) != 0
+    if ac_over or exc_over:
+        out = run(
+            qz.chunk_width(n_pad // n_dev, cfg.block_size)
+            if ac_over
+            else default_cap,
+            (1 << 20) if exc_over else None,
+        )
+    base, extra = out[:9], out[9:]
     bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable, bound_ok = (
-        jax.device_get(out)
+        jax.device_get(base)
     )
     if cfg.verify and not bool(bound_ok):
         warnings.warn(
@@ -998,10 +1018,34 @@ def compress_sharded(
     if cfg.shuffle:
         dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
         acb = entropy.shuffle_bytes(acb, np.asarray(ac).dtype.itemsize)
-    streams = _ids_streams(bin_ids.reshape(-1).tobytes(), cfg, header) + (
+    dc_ac_z = (
         entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
         entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
     )
+    if dpk:
+        # per-shard tile-/chunk-major outputs ARE the global layout
+        width, packed_rows, exc_rows, exc_counts, dpk_ac_counts, _ = (
+            jax.device_get(extra)
+        )
+        header.dpk = True
+        streams = _dpk_sections(
+            width,
+            packed_rows,
+            exc_rows,
+            exc_counts,
+            dpk_ac_counts,
+            idpack.B_DEFAULT,
+            qz.chunk_width(n_pad // n_dev, cfg.block_size),
+            n_pad,
+            cfg,
+        ) + dc_ac_z
+        return ct.pack_v2(
+            header,
+            streams,
+            qtable if cfg.mode == "qt" else None,
+            cfg.chunk_bytes,
+        )
+    streams = _ids_streams(bin_ids.reshape(-1).tobytes(), cfg, header) + dc_ac_z
     return ct.pack_v2(
         header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes
     )
@@ -1014,8 +1058,14 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
     counts (recomputed from bin_index alone), and runs the local
     dequantize+IDCT pipeline on every shard."""
     from .parallel import sharding as sh
+    from .utils.timing import StageTimer
 
     header, streams, qtable, _cb = ct.parse_v2(blob)
+    if header.dpk:
+        # device-packed ids: the single-chip decode program already runs
+        # the unpack + decode on device (sharding the decode program over
+        # the mesh is a roadmap item; correctness path first)
+        return _decompress_dpk(header, streams, qtable, StageTimer())
     bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)
 
     n = header.num_elements

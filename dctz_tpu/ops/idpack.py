@@ -113,13 +113,15 @@ def packed_nbytes(widths: np.ndarray, b: int) -> np.ndarray:
 
 
 def _thr_block_major(width: jax.Array, nblk: int, b: int) -> jax.Array:
-    """Per-tile markers broadcast to the (nblk, bs) block-major grid."""
-    bs, t = width.shape
+    """Per-tile markers broadcast to the (nblk, bs) block-major grid.
+
+    width is TILE-MAJOR (T, bs): global tile index is the leading axis so
+    per-shard grids concatenate into the global one (parallel/sharding.py).
+    """
+    t, bs = width.shape
     w32 = width.astype(jnp.int32)
-    thr = jnp.where(w32 > 0, (1 << w32) - 1, _INF)  # (bs, T)
-    thr_bm = jnp.broadcast_to(thr.T[:, None, :], (t, b, bs)).reshape(
-        t * b, bs
-    )
+    thr = jnp.where(w32 > 0, (1 << w32) - 1, _INF)  # (T, bs)
+    thr_bm = jnp.broadcast_to(thr[:, None, :], (t, b, bs)).reshape(t * b, bs)
     return thr_bm[:nblk]
 
 
@@ -128,16 +130,19 @@ def _thr_block_major(width: jax.Array, nblk: int, b: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def pack_ids(ids2d: jax.Array, n_valid, b: int, cape: int):
     """Code the bin-index grid on device.
 
     ids2d: (nblk, bs) uint8 (DC col = ESCAPE, padding = anything).
-    n_valid: true element count (positions >= n_valid are coded as 0).
+    n_valid: true element count, int or traced scalar (positions >= n_valid
+    are coded as 0 — traced so the sharded path can pass per-shard counts).
 
-    Returns (widths (bs, T) uint8, packed (bs*T, b//2) uint8,
+    Returns (widths (T, bs) uint8, packed (T*bs, b//2) uint8,
     exc_rows (nchunks, cape) uint8, exc_counts (nchunks,) int32,
     exc_overflow () bool) where nchunks = nblk*bs / quantize.chunk_width.
+    All outputs are TILE-MAJOR / block-major: per-shard outputs concatenate
+    along their leading axis into exactly the single-chip global layout.
     """
     from ..core.quantize import chunk_width
 
@@ -150,14 +155,11 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
     ids_i = jnp.where(valid, ids2d.astype(jnp.int32), 0)
     nib_bm = jnp.minimum(ids_i, 15)  # (nblk, bs) int32
 
-    # ONE transpose to position-major tiles, padded to T*B blocks.
-    # int32 lanes: XLA:TPU transposes sub-word (u8) data ~10x slower
-    # (measured 52 ms vs 7 ms for this shape).
-    nib_t = nib_bm.T
+    # ONE transpose to (tile, position, block) tiles. int32 lanes: XLA:TPU
+    # transposes sub-word (u8) data ~10x slower (measured 52 vs 7 ms).
     pad = t * b - nblk
-    if pad:
-        nib_t = jnp.pad(nib_t, ((0, 0), (0, pad)))
-    tiles = nib_t.reshape(bs, t, b)
+    nib_p = jnp.pad(nib_bm, ((0, pad), (0, 0))) if pad else nib_bm
+    tiles = jnp.swapaxes(nib_p.reshape(t, b, bs), 1, 2)  # (T, bs, B)
 
     # width selection: cost(w) = w*B + EXC_BITS * #exceptions(w)
     maxv = jnp.max(tiles, axis=-1)
@@ -166,12 +168,12 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
         thr = (1 << wb) - 1
         cnt = jnp.sum((tiles >= thr).astype(jnp.int32), axis=-1)
         costs.append(jnp.int32(wb * b) + jnp.int32(EXC_BITS) * cnt)
-    width = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)  # (bs, T)
+    width = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)  # (T, bs)
 
     # pack at every candidate width, select per tile (values clipped to the
     # marker so exceptions pack as thr)
     cap = b // 2
-    packed = jnp.zeros((bs, t, cap), jnp.uint8)
+    packed = jnp.zeros((t, bs, cap), jnp.uint8)
     for wb in _WIDTHS[1:]:
         thr = (1 << wb) - 1
         pk = _pack_w(jnp.minimum(tiles, thr), wb, b)
@@ -189,7 +191,7 @@ def pack_ids(ids2d: jax.Array, n_valid: int, b: int, cape: int):
     )
     return (
         width.astype(jnp.uint8),
-        packed.reshape(bs * t, cap),
+        packed.reshape(t * bs, cap),
         exc_rows.astype(jnp.uint8),
         exc_counts,
         exc_ovf,
@@ -225,29 +227,34 @@ def unpack_ids(
     nblk: int,
     bs: int,
     b: int,
+    cw: int | None = None,
 ) -> jax.Array:
     """Inverse of pack_ids -> (nblk, bs) uint8 with DC marks restored.
 
-    width: (bs, T) uint8/int32; packed: (bs*T, b//2) uint8 capacity rows;
+    width: (T, bs) uint8/int32; packed: (T*bs, b//2) uint8 capacity rows;
     exc_rows: (nchunks, cape) uint8 in block-major chunk order. Positions
     beyond the original n decode to id 0 (the caller slices by true length).
     """
     from ..core.quantize import chunk_width
 
-    t = width.shape[-1]
-    wcol = width.reshape(bs * t).astype(jnp.int32)
+    t = width.shape[0]
+    wcol = width.reshape(t * bs).astype(jnp.int32)
 
-    nib = jnp.zeros((bs * t, b), jnp.int32)
+    nib = jnp.zeros((t * bs, b), jnp.int32)
     for wb in _WIDTHS[1:]:
         v = _unpack_w(packed, wb, b)
         nib = jnp.where((wcol == wb)[:, None], v, nib)
 
     # ONE transpose back to block-major (int32 lanes — u8 transposes are
     # ~10x slower on XLA:TPU), then everything is chunk-local
-    nib_bm = nib.reshape(bs, t * b)[:, :nblk].T  # (nblk, bs)
+    nib_bm = jnp.swapaxes(nib.reshape(t, bs, b), 1, 2).reshape(t * b, bs)[
+        :nblk
+    ]
     thr_bm = _thr_block_major(width, nblk, b)
     mask = nib_bm == thr_bm
-    cw = chunk_width(nblk * bs, bs)
+    # cw must match the ENCODER's chunk geometry (stored in the container
+    # meta; sharded encoders chunk per shard)
+    cw = cw or chunk_width(nblk * bs, bs)
     # exception bytes return via the same one-hot contraction as the AC
     # stream; values <= 255 are exact in f32
     exc = cp.expand_chunked(
@@ -267,7 +274,7 @@ def unpack_ids(
 def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
     """Pure-numpy reference of pack_ids (unbounded exception capacity).
 
-    Returns (widths (bs,T) u8, tight_packed bytes, exceptions bytes,
+    Returns (widths (T,bs) u8, tight_packed bytes, exceptions bytes,
     exc_counts per block-major chunk) — tight (host-assembled) layout."""
     from ..core.quantize import chunk_width
 
@@ -278,24 +285,22 @@ def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
     valid = (pos < n_valid) & (col >= 1)
     ids_i = np.where(valid, ids2d.astype(np.int64), 0)
     nib_bm = np.minimum(ids_i, 15)
-    nib_t = nib_bm.T
     padw = t * b - nblk
-    if padw:
-        nib_t = np.pad(nib_t, ((0, 0), (0, padw)))
-    tiles = nib_t.reshape(bs, t, b)
+    nib_p = np.pad(nib_bm, ((0, padw), (0, 0))) if padw else nib_bm
+    tiles = nib_p.reshape(t, b, bs).swapaxes(1, 2)  # (T, bs, B)
 
     maxv = tiles.max(axis=-1)
     costs = [np.where(maxv == 0, 0, 1 << 30)]
     for wb in _WIDTHS[1:]:
         thr = (1 << wb) - 1
         costs.append(wb * b + EXC_BITS * (tiles >= thr).sum(axis=-1))
-    width = np.argmin(np.stack(costs), axis=0)
+    width = np.argmin(np.stack(costs), axis=0)  # (T, bs)
 
     out = []
-    for j in range(bs):
-        for ti in range(t):
-            wb = int(width[j, ti])
-            tile = tiles[j, ti]
+    for ti in range(t):
+        for j in range(bs):
+            wb = int(width[ti, j])
+            tile = tiles[ti, j]
             if wb == 0:
                 continue
             thr = (1 << wb) - 1
@@ -314,8 +319,8 @@ def pack_ids_np(ids2d: np.ndarray, n_valid: int, b: int):
                 out.append(by.astype(np.uint8).tobytes())
 
     # exceptions: block-major (global element order)
-    thr_t = np.where(width > 0, (1 << width) - 1, 1 << 30)  # (bs, T)
-    thr_bm = np.broadcast_to(thr_t.T[:, None, :], (t, b, bs)).reshape(
+    thr_t = np.where(width > 0, (1 << width) - 1, 1 << 30)  # (T, bs)
+    thr_bm = np.broadcast_to(thr_t[:, None, :], (t, b, bs)).reshape(
         t * b, bs
     )[:nblk]
     exc_mask = nib_bm >= thr_bm

@@ -67,12 +67,19 @@ def init(
     )
 
 
-def host_slice(n_total: int, block_size: int = 64) -> tuple[int, int]:
+def host_slice(
+    n_total: int, block_size: int = 64, quantum_blocks: int = 1
+) -> tuple[int, int]:
     """[start, stop) of this host's contiguous block-aligned share of the
-    PADDED flat array (zero-padding beyond n_total is the caller's to fill)."""
+    PADDED flat array (zero-padding beyond n_total is the caller's to fill).
+
+    quantum_blocks: pass ops.idpack.B_DEFAULT when compressing with
+    ids_codec="device" so tiles never cross shards."""
     nproc = jax.process_count()
     pid = jax.process_index()
-    n_pad = sh.padded_size(n_total, jax.device_count(), block_size)
+    n_pad = sh.padded_size(
+        n_total, jax.device_count(), block_size, quantum_blocks
+    )
     per_host = n_pad // nproc
     assert per_host % block_size == 0
     return pid * per_host, (pid + 1) * per_host
@@ -97,8 +104,14 @@ def _pack_local_container(
     mean: float,
     qtable: np.ndarray | None,
     cfg: CodecConfig,
+    dpk_parts: tuple | None = None,
+    shard_elems: int = 0,
 ) -> bytes:
-    """One host's slice -> v2 container (global sf/mean, local length)."""
+    """One host's slice -> v2 container (global sf/mean, local length).
+
+    dpk_parts: this host's (width, packed_rows, exc_rows, exc_counts,
+    ac_counts) from the per-shard device id coder — the frame then carries
+    device-coded ids and the host never touches the raw id stream."""
     header = ct.Header(
         dtype=src_dtype,
         num_elements=n_local,
@@ -115,16 +128,38 @@ def _pack_local_container(
         truncate=cfg.truncate,
     )
     header.shuffle = cfg.shuffle
-    from ..api import _ids_streams
+    from ..api import _dpk_sections, _ids_streams
+    from ..core import quantize as qz
 
     dcb, acb = dc_l.tobytes(), np.asarray(ac_l).tobytes()
     if cfg.shuffle:
         dcb = entropy.shuffle_bytes(dcb, dc_l.dtype.itemsize)
         acb = entropy.shuffle_bytes(acb, np.asarray(ac_l).dtype.itemsize)
-    streams = _ids_streams(bin_ids_l.reshape(-1).tobytes(), cfg, header) + (
+    dc_ac_z = (
         entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
         entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
     )
+    if dpk_parts is not None:
+        from ..ops import idpack
+
+        header.dpk = True
+        width_l, packed_l, exc_rows_l, exc_counts_l, ac_counts_l = dpk_parts
+        streams = _dpk_sections(
+            width_l,
+            packed_l,
+            exc_rows_l,
+            exc_counts_l,
+            ac_counts_l,
+            idpack.B_DEFAULT,
+            qz.chunk_width(shard_elems, cfg.block_size),
+            bin_ids_l.size,  # host-local padded stream length
+            cfg,
+        ) + dc_ac_z
+    else:
+        streams = (
+            _ids_streams(bin_ids_l.reshape(-1).tobytes(), cfg, header)
+            + dc_ac_z
+        )
     return ct.pack_v2(
         header, streams, qtable if cfg.mode == "qt" else None, cfg.chunk_bytes
     )
@@ -168,6 +203,10 @@ def compress_multihost(
             + dstream._FRAME.pack(0)
         )
 
+    from ..ops import idpack
+
+    dpk = cfg.ids_codec == "device"
+    quantum = idpack.B_DEFAULT if dpk else 1
     pid = jax.process_index()
     nproc = jax.process_count()
     src_dtype = np.dtype(getattr(local, "dtype", np.float64))
@@ -175,7 +214,7 @@ def compress_multihost(
     if local.dtype == np.float64 and not jax.config.jax_enable_x64:
         local = local.astype(np.float32)
 
-    lo, hi = host_slice(n_total, cfg.block_size)
+    lo, hi = host_slice(n_total, cfg.block_size, quantum)
     share = hi - lo
     if local.shape[0] < share:  # zero-pad the tail host's slice
         local = np.concatenate(
@@ -189,7 +228,9 @@ def compress_multihost(
     n_local_real = max(0, min(n_total - lo, share))
 
     mesh = sh.make_mesh()  # all global devices
-    n_pad = sh.padded_size(n_total, jax.device_count(), cfg.block_size)
+    n_pad = sh.padded_size(
+        n_total, jax.device_count(), cfg.block_size, quantum
+    )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     garr = jax.make_array_from_process_local_data(
@@ -202,7 +243,7 @@ def compress_multihost(
     layout = "chunked" if cp.use_chunked_compaction() else "global"
     n_dev = mesh.devices.size
 
-    def run(ac_capacity):
+    def run(ac_capacity, cape=None):
         return sh.encode_sharded(
             garr,
             n_real=n_total,
@@ -210,12 +251,26 @@ def compress_multihost(
             ac_capacity=ac_capacity,
             mesh=mesh,
             compaction=layout,
+            dpk=dpk,
+            cape=cape,
         )
 
-    out = run(n_pad // n_dev if layout == "global" else None)
-    if layout == "chunked" and int(jax.device_get(out[4])) != 0:
-        out = run(qz.chunk_width(n_pad // n_dev, cfg.block_size))
-    bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable, _ok = out
+    default_cap = n_pad // n_dev if layout == "global" else None
+    out = run(default_cap)
+    ac_over = layout == "chunked" and int(jax.device_get(out[4])) != 0
+    exc_over = dpk and int(jax.device_get(out[-1])) != 0
+    if ac_over or exc_over:
+        out = run(
+            qz.chunk_width(n_pad // n_dev, cfg.block_size)
+            if ac_over
+            else default_cap,
+            (1 << 20) if exc_over else None,
+        )
+    base, extra = out[:9], out[9:]
+    bin_ids, dc, ac_bufs, ac_counts, _ovf, sf, mean, qtable, _ok = base
+    dpk_parts = None
+    if dpk:
+        dpk_parts = tuple(_local_rows(a) for a in extra[:5])
 
     # addressable shards only — each host holds exactly its slice's rows
     bin_ids_l = _local_rows(bin_ids)
@@ -246,7 +301,7 @@ def compress_multihost(
     if n_local_real > 0:  # all-padding hosts contribute no frame
         blob = _pack_local_container(
             bin_ids_l, dc_l, ac_l, n_local_real, src_dtype, sf_v, mean_v, qt,
-            cfg,
+            cfg, dpk_parts, n_pad // n_dev,
         )
         parts.append(dstream._FRAME.pack(len(blob)))
         parts.append(blob)

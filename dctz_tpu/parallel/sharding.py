@@ -52,8 +52,10 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def padded_size(n: int, n_devices: int, block_size: int) -> int:
-    quantum = n_devices * block_size
+def padded_size(
+    n: int, n_devices: int, block_size: int, quantum_blocks: int = 1
+) -> int:
+    quantum = n_devices * block_size * quantum_blocks
     return -(-n // quantum) * quantum
 
 
@@ -115,7 +117,9 @@ def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name, compaction):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_real", "cfg", "ac_capacity", "mesh", "compaction"),
+    static_argnames=(
+        "n_real", "cfg", "ac_capacity", "mesh", "compaction", "dpk", "cape",
+    ),
 )
 def encode_sharded(
     x_padded,
@@ -125,6 +129,8 @@ def encode_sharded(
     ac_capacity: int | None,
     mesh: Mesh,
     compaction: str = "global",
+    dpk: bool = False,
+    cape: int | None = None,
 ):
     """Sharded compression device program.
 
@@ -133,7 +139,14 @@ def encode_sharded(
     bin_ids (n_pad/bs, bs), dc (n_pad/bs,), the AC stream in the requested
     layout (global: per-shard (n_dev, cap) buffers + (n_dev,) counts;
     chunked: (nchunks, capc) + per-chunk counts + replicated overflow flag),
-    plus replicated sf / mean / qtable.
+    plus replicated sf / mean / qtable / verify flag.
+
+    dpk=True additionally runs the per-shard device id-stream coder
+    (ops/idpack.py) and appends (widths, packed rows, exception rows,
+    exception counts, AC chunk counts, exception overflow): every array is
+    tile-/chunk-major along the shard axis, so the P(AXIS) outputs ARE the
+    single-chip global layout — no reordering anywhere. Requires the shard
+    length to be a multiple of block_size * idpack.B_DEFAULT.
     """
     qt = cfg.mode == "qt"
 
@@ -144,29 +157,48 @@ def encode_sharded(
         qtable = q.qtable if qt else jnp.zeros((cfg.block_size,), x_local.dtype)
         if compaction == "chunked":
             overflow = jax.lax.pmax(q.overflowed.astype(jnp.int32), AXIS)
-            return (
+            out = (
                 q.bin_ids, q.dc, q.ac_buf, q.ac_count, overflow, sf, mean,
                 qtable, ok,
             )
-        return (
-            q.bin_ids,
-            q.dc,
-            q.ac_buf[None, :],
-            q.ac_count[None],
-            jnp.int32(0),
-            sf,
-            mean,
-            qtable,
-            ok,
-        )
+        else:
+            out = (
+                q.bin_ids,
+                q.dc,
+                q.ac_buf[None, :],
+                q.ac_count[None],
+                jnp.int32(0),
+                sf,
+                mean,
+                qtable,
+                ok,
+            )
+        if not dpk:
+            return out
+        from ..ops import idpack
 
+        # n_valid = the WHOLE shard: blocks are full zero-padded 64-point
+        # transforms here, so every coefficient position is meaningful
+        # (masking by the true element count would zero real coefficients
+        # of the last partial block). Pure-padding blocks are all id 0 and
+        # pack to nothing anyway.
+        n_local = x_local.shape[0]
+        width, packed, exc_rows, exc_counts, exc_ovf = idpack.pack_ids(
+            q.bin_ids, n_local, idpack.B_DEFAULT, cape or idpack.CAPE
+        )
+        cw = qz.chunk_width(n_local, cfg.block_size)
+        ac_counts = idpack.ac_chunk_counts(q.bin_ids, n_local, cw)
+        exc_ovf = jax.lax.pmax(exc_ovf.astype(jnp.int32), AXIS)
+        return out + (width, packed, exc_rows, exc_counts, ac_counts, exc_ovf)
+
+    specs = [P(AXIS)] * 4 + [P()] * 5
+    if dpk:
+        specs += [P(AXIS)] * 5 + [P()]
     out = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=P(AXIS),
-        out_specs=(
-            P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(), P(),
-        ),
+        out_specs=tuple(specs),
     )(x_padded)
     return out
 
@@ -220,11 +252,16 @@ def decode_sharded(
     )(bin_ids, dc, ac_shards, sf, qtable)
 
 
-def shard_input(x: np.ndarray, mesh: Mesh, block_size: int):
-    """Zero-pad and device_put a host array sharded over the mesh."""
+def shard_input(
+    x: np.ndarray, mesh: Mesh, block_size: int, quantum_blocks: int = 1
+):
+    """Zero-pad and device_put a host array sharded over the mesh.
+
+    quantum_blocks > 1 aligns every shard to that many whole blocks (the
+    DPK id coder needs shards to hold whole idpack.B_DEFAULT-block tiles)."""
     n = x.shape[0]
     n_dev = mesh.devices.size
-    n_pad = padded_size(n, n_dev, block_size)
+    n_pad = padded_size(n, n_dev, block_size, quantum_blocks)
     if n_pad != n:
         x = np.concatenate([x, np.zeros(n_pad - n, x.dtype)])
     sharding = NamedSharding(mesh, P(AXIS))

@@ -36,6 +36,7 @@ def make_data(n: int) -> np.ndarray:
 
 def main() -> None:
     coordinator, nproc, pid, n_total, mode, out_path = sys.argv[1:7]
+    ids_codec = sys.argv[7] if len(sys.argv) > 7 else "auto"
     nproc, pid, n_total = int(nproc), int(pid), int(n_total)
 
     jax.distributed.initialize(
@@ -45,14 +46,20 @@ def main() -> None:
     assert jax.device_count() == 2 * nproc
 
     from dctz_tpu.config import CodecConfig
+    from dctz_tpu.ops import idpack
     from dctz_tpu.parallel import multihost as mh
 
-    lo, hi = mh.host_slice(n_total)
+    quantum = idpack.B_DEFAULT if ids_codec == "device" else 1
+    lo, hi = mh.host_slice(n_total, quantum_blocks=quantum)
     x = make_data(n_total)
     local = x[lo:min(hi, n_total)]  # last host passes only real elements
 
     cfg = CodecConfig(
-        mode=mode, error_bound=1e-3, container="v2", verify=True
+        mode=mode,
+        error_bound=1e-3,
+        container="v2",
+        verify=True,
+        ids_codec=ids_codec,
     )
     part = mh.compress_multihost(local, n_total, config=cfg)
     with open(out_path, "wb") as f:

@@ -106,3 +106,48 @@ def test_dpk_ratio_vs_rans():
     dpk = len(dctz_tpu.compress(noisy, config=_cfg(error_bound=1e-3)))
     v2 = len(dctz_tpu.compress(noisy, config=v2cfg))
     assert dpk < v2 * 1.35, (dpk, v2)
+
+
+def test_dpk_sharded_matches_single_chip():
+    """Per-shard device packing must produce a container that decodes to
+    the identical reconstruction (tile-major outputs concatenate into the
+    global layout with no host reordering)."""
+    import jax
+
+    from dctz_tpu import compress_sharded
+    from dctz_tpu.parallel import sharding as sh
+
+    n = 64 * 256 * 8 * 2 + 1234  # not a quantum multiple: exercises padding
+    x = _signal(n, np.float32, seed=21)
+    mesh = sh.make_mesh()
+    cfg = _cfg(error_bound=1e-3)
+    blob = compress_sharded(x, config=cfg, mesh=mesh)
+    from dctz_tpu.core import container as ct2
+
+    header, *_ = ct2.parse_v2(blob)
+    assert header.dpk
+    y = dctz_tpu.decompress(blob)
+    assert y.shape == x.shape
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+    # reconstruction must equal the single-chip DPK path bit-for-bit on all
+    # whole blocks (the tail block legitimately differs: the single-chip
+    # XLA path uses the reference's rem-point tail basis, the sharded path
+    # transforms a zero-padded 64-point block — both within bound)
+    y1 = dctz_tpu.decompress(dctz_tpu.compress(x, config=cfg))
+    full = (n // 64) * 64
+    np.testing.assert_array_equal(y[:full], y1[:full])
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_dpk_sharded_verify(mode):
+    """DPK + verify-repair + sharding compose."""
+    from dctz_tpu import compress_sharded
+    from dctz_tpu.parallel import sharding as sh
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal(64 * 256 * 8) * 20).astype(np.float32)
+    cfg = _cfg(mode=mode, error_bound=1e-3, verify=True)
+    blob = compress_sharded(x, config=cfg, mesh=sh.make_mesh())
+    y = dctz_tpu.decompress(blob)
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]

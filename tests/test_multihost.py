@@ -40,12 +40,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("mode", ["ec", "qt"])
-def test_multiprocess_two_hosts(tmp_path, mode):
+@pytest.mark.parametrize(
+    "mode,codec",
+    [("ec", "auto"), ("qt", "auto"), ("ec", "device")],
+)
+def test_multiprocess_two_hosts(tmp_path, mode, codec):
     """2 real jax.distributed processes x 2 virtual devices each: every
     host writes only its own frames; the concatenation must decode in one
     process within the bound (VERDICT: 'a multi-process test producing a
-    valid DTZS stream that single-process decompress() round-trips')."""
+    valid DTZS stream that single-process decompress() round-trips').
+    codec="device" additionally runs the per-shard id coder so each frame
+    carries device-packed ids."""
     worker = pathlib.Path(__file__).parent / "_mh_worker.py"
     n_total = 64 * 311 + 7  # uneven: padding lives on the last host
     coordinator = f"127.0.0.1:{_free_port()}"
@@ -65,6 +70,7 @@ def test_multiprocess_two_hosts(tmp_path, mode):
                     str(n_total),
                     mode,
                     str(out),
+                    codec,
                 ],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.PIPE,

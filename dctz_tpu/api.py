@@ -442,55 +442,68 @@ def _dpk_sections(
     )
 
 
+def _dpk_host_rebuild(header: ct.Header, streams):
+    """Re-inflate a DPK container's small side streams and re-pad the tight
+    layouts into the fixed-capacity device inputs. Returns
+    (width (T,bs), rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
+    ac_counts, nblk)."""
+    from .ops import idpack
+
+    widths_z, packed_raw, exc_z, meta_z, dz, az = streams
+    meta = entropy.chunked_inflate(meta_z)
+    n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
+    bs = header.block_size
+    nblk = -(-n_stream // bs)  # n_stream = true length on the XLA path
+    t = idpack.tiles_of(nblk, tile_b)
+    rows_n = bs * t
+    off = _DPK_META_SIZE
+    n_chunks = (nblk * bs) // cw
+    exc_counts = np.frombuffer(meta, np.uint16, n_chunks, off).astype(
+        np.int64
+    )
+    ac_counts = np.frombuffer(
+        meta, np.uint16, n_chunks, off + 2 * n_chunks
+    ).astype(np.int64)
+
+    width = np.frombuffer(
+        entropy.chunked_inflate(widths_z), np.uint8, rows_n
+    ).reshape(t, bs)
+    bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
+    rows = entropy.pad_row_prefixes(
+        b"".join(packed_raw), bpr, tile_b // 2, np.uint8
+    )
+    exc_tight = np.frombuffer(entropy.chunked_inflate(exc_z), np.uint8)
+    peak_e = int(exc_counts.max()) if exc_counts.size else 0
+    cape = next(
+        c
+        for c in [c for c in (32, 64, 128, 256) if c < cw] + [cw]
+        if c >= min(peak_e, cw)
+    )
+    exc_rows = entropy.pad_row_prefixes(exc_tight, exc_counts, cape, np.uint8)
+
+    dc_raw = entropy.chunked_inflate(dz)
+    ac_raw = entropy.chunked_inflate(az)
+    if header.shuffle:
+        isz = header.stored_dtype.itemsize
+        dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
+        ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+    return (
+        width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
+        ac_counts, nblk,
+    )
+
+
 def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
     """Decompress a DPK container: the host only re-inflates the small side
     streams and re-pads the tight layouts into fixed-capacity rows; the id
     stream itself is decoded on device (_decode_device_dpk)."""
     from .ops import compaction as cp
-    from .ops import idpack
 
     with timer.stage("host"):
-        widths_z, packed_raw, exc_z, meta_z, dz, az = streams
-        meta = entropy.chunked_inflate(meta_z)
-        n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
-        bs = header.block_size
-        nblk = -(-n_stream // bs)  # n_stream = true length on the XLA path
-        t = idpack.tiles_of(nblk, tile_b)
-        rows_n = bs * t
-        off = _DPK_META_SIZE
-        n_chunks = (nblk * bs) // cw
-        exc_counts = np.frombuffer(meta, np.uint16, n_chunks, off).astype(
-            np.int64
-        )
-        ac_counts = np.frombuffer(
-            meta, np.uint16, n_chunks, off + 2 * n_chunks
-        ).astype(np.int64)
-
-        width = np.frombuffer(
-            entropy.chunked_inflate(widths_z), np.uint8, rows_n
-        ).reshape(t, bs)
-        cap = tile_b // 2
-        bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-        rows = entropy.pad_row_prefixes(
-            b"".join(packed_raw), bpr, cap, np.uint8
-        )
-        exc_tight = np.frombuffer(entropy.chunked_inflate(exc_z), np.uint8)
-        peak_e = int(exc_counts.max()) if exc_counts.size else 0
-        cape = next(
-            c
-            for c in [c for c in (32, 64, 128, 256) if c < cw] + [cw]
-            if c >= min(peak_e, cw)
-        )
-        exc_rows = entropy.pad_row_prefixes(
-            exc_tight, exc_counts, cape, np.uint8
-        )
-
-        dc_raw = entropy.chunked_inflate(dz)
-        ac_raw = entropy.chunked_inflate(az)
-        if header.shuffle:
-            isz = header.stored_dtype.itemsize
-            dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
-            ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+        (
+            width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
+            ac_counts, nblk,
+        ) = _dpk_host_rebuild(header, streams)
 
         n = header.num_elements
         cfg = _header_config(header)

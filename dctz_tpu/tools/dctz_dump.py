@@ -23,6 +23,12 @@ def dump(path: str) -> dict:
     return {
         "file": path,
         "format": fmt,
+        "filters": {
+            "shuffle": hdr.shuffle,
+            "ids4": hdr.ids4,
+            "rans": hdr.rans,
+            "dpk": hdr.dpk,
+        },
         "datatype": hdr.dtype.name,
         "num_elements": hdr.num_elements,
         "error_bound": hdr.error_bound,
@@ -48,14 +54,35 @@ def extract(path: str, out_prefix: str | None = None) -> list[str]:
 
     blob = open(path, "rb").read()
     if ct.detect_format(blob) == "v2":
-        hdr, (bz, dz, az), qtable, _cb = ct.parse_v2(blob)
-        bindex = entropy.chunked_inflate(bz)
-        dc = entropy.chunked_inflate(dz)
-        ac = entropy.chunked_inflate(az)
-        if hdr.shuffle:
-            isz = hdr.stored_dtype.itemsize
-            dc = entropy.unshuffle_bytes(dc, isz)
-            ac = entropy.unshuffle_bytes(ac, isz)
+        hdr, streams, qtable, _cb = ct.parse_v2(blob)
+        if hdr.dpk:
+            # device-packed ids: rebuild the device inputs and unpack the
+            # raw id stream (runs fine on CPU)
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..api import _dpk_host_rebuild
+            from ..ops import idpack
+
+            (
+                width, rows, exc_rows, dc, ac, n_stream, tile_b, cw, _acc,
+                nblk,
+            ) = _dpk_host_rebuild(hdr, streams)
+            bindex = np.asarray(
+                idpack.unpack_ids(
+                    jnp.asarray(width),
+                    jnp.asarray(rows),
+                    jnp.asarray(exc_rows),
+                    nblk,
+                    hdr.block_size,
+                    tile_b,
+                    cw,
+                )
+            ).tobytes()
+        else:
+            from ..api import _inflate_v2_streams
+
+            bindex, dc, ac = _inflate_v2_streams(hdr, streams)
     else:
         hdr, bz, dz, az, qtable = ct.parse_v1(blob)
         bindex, dc, ac = entropy.inflate_streams([bz, dz, az])

@@ -547,6 +547,10 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             if qtable is not None
             else None
         )
+        if timer.sync:
+            # attribute async h2d time here, not to the device stage
+            for a in dev:
+                float(a.ravel()[0])
     with timer.stage("device"):
         x = _decode_device_dpk(
             *dev,
@@ -899,6 +903,10 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
             if qtable is not None
             else None
         )
+        if timer.sync:
+            # attribute async h2d time here, not to the device stage
+            for a in (ids_d, dc_d, ac_d):
+                float(a.ravel()[0])
     with timer.stage("device"):
         x = _decode_device(
             ids_d,

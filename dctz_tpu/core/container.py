@@ -75,6 +75,7 @@ class Header:
     ids4: bool = False  # v2: bin-index stream nibble-packed + exception stream
     rans: bool = False  # v2: ids sections rANS-coded (native codec)
     dpk: bool = False  # v2: bin-index stream device-packed (ops/idpack.py)
+    dpkz: bool = False  # v2: DPK packed section host-deflated (ratio mode)
 
     @property
     def nblk(self) -> int:
@@ -203,6 +204,8 @@ _FLAG_RANS = 1 << 5  # ids sections use the native rANS codec, not deflate
 # (widths, packed-raw, exceptions, meta, dc, ac) — the packed section is
 # stored verbatim (it is already entropy-coded on the device)
 _FLAG_DPK = 1 << 6
+# the DPK packed section additionally deflated on the host (ratio mode)
+_FLAG_DPKZ = 1 << 7
 
 
 def pack_v2(
@@ -235,6 +238,8 @@ def pack_v2(
         flags |= _FLAG_DPK
         if len(streams_z) != 6:
             raise ValueError("dpk container needs 6 stream sections")
+    if header.dpkz:
+        flags |= _FLAG_DPKZ
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -358,6 +363,7 @@ def parse_v2(
         ids4=bool(flags & _FLAG_IDS4),
         rans=bool(flags & _FLAG_RANS),
         dpk=dpk,
+        dpkz=bool(flags & _FLAG_DPKZ),
     )
     return header, tuple(streams), qtable, chunk_bytes
 

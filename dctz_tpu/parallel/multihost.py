@@ -143,6 +143,7 @@ def _pack_local_container(
         from ..ops import idpack
 
         header.dpk = True
+        header.dpkz = cfg.dpk_host_codec == "deflate"
         width_l, packed_l, exc_rows_l, exc_counts_l, ac_counts_l = dpk_parts
         streams = _dpk_sections(
             width_l,

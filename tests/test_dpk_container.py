@@ -108,6 +108,19 @@ def test_dpk_ratio_vs_rans():
     assert dpk < v2 * 1.35, (dpk, v2)
 
 
+def test_dpk_host_codec_ratio_mode():
+    """dpk_host_codec="deflate" second stage: smaller container, identical
+    reconstruction."""
+    x = _signal(200_000, np.float32, seed=13)
+    fast = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    ratio_cfg = _cfg(error_bound=1e-3, dpk_host_codec="deflate")
+    small = dctz_tpu.compress(x, config=ratio_cfg)
+    assert len(small) < len(fast)
+    np.testing.assert_array_equal(
+        dctz_tpu.decompress(small), dctz_tpu.decompress(fast)
+    )
+
+
 def test_dpk_sharded_matches_single_chip():
     """Per-shard device packing must produce a container that decodes to
     the identical reconstruction (tile-major outputs concatenate into the

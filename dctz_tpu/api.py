@@ -242,8 +242,30 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             if cfg.mode == "qt"
             else fe.fused_encode_pipeline
         )
+        from .ops import idpack
+
         out = pipeline(arr, sf, cfg.error_bound, None)
-        if bool(jax.device_get(out[4])):
+        if not cfg.verify and dpk:
+            # dispatch the id packer eagerly and read BOTH overflow flags in
+            # one readback: each device_get costs a full tunnel/PCIe round
+            # trip. (ids don't depend on the AC capacity, so an AC-overflow
+            # retry never invalidates the packed ids; only an exception
+            # overflow forces a repack.)
+            # n_pad, not n: the fused path transforms whole zero-padded
+            # blocks, so every coefficient position in the padded grid
+            # carries real information (the decoder's n_stream = n_pad).
+            pk = idpack.pack_ids(out[0], n_pad, idpack.B_DEFAULT, idpack.CAPE)
+            ovf_ac, ovf_exc = (
+                bool(v) for v in jax.device_get((out[4], pk[4]))
+            )
+            if ovf_ac:
+                out = pipeline(
+                    arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
+                )
+            if ovf_exc:
+                pk = idpack.pack_ids(out[0], n_pad, idpack.B_DEFAULT, 1 << 20)
+            pk = pk[:4]
+        elif bool(jax.device_get(out[4])):
             out = pipeline(
                 arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
             )
@@ -265,11 +287,8 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                     qtable_dev,
                 )
             ids, ac_chunks, counts, _, bound_ok = rep
-        if dpk:
-            # n_pad, not n: the fused path transforms whole zero-padded
-            # blocks, so every coefficient position in the padded grid
-            # carries real information (the decoder's n_stream = n_pad)
-            pk = _dpk_pack_device(ids, n_pad)
+            if dpk:
+                pk = _dpk_pack_device(ids, n_pad)
     if bound_ok is not None and not bool(jax.device_get(bound_ok)):
         warnings.warn(
             "verify-repair could not fully satisfy the pointwise bound "

@@ -245,13 +245,17 @@ def unpack_ids(
         v = _unpack_w(packed, wb, b)
         nib = jnp.where((wcol == wb)[:, None], v, nib)
 
-    # ONE transpose back to block-major (int32 lanes — u8 transposes are
-    # ~10x slower on XLA:TPU), then everything is chunk-local
-    nib_bm = jnp.swapaxes(nib.reshape(t, bs, b), 1, 2).reshape(t * b, bs)[
+    # fold the exception-marker mask into the nibble word BEFORE the
+    # transpose (bit 8), so one int32 transpose moves both and no
+    # block-major threshold grid is materialized (int32 lanes — u8
+    # transposes are ~10x slower on XLA:TPU)
+    thr_col = jnp.where(wcol > 0, (1 << wcol) - 1, jnp.int32(-1))
+    comb = nib | ((nib == thr_col[:, None]).astype(jnp.int32) << 8)
+    comb_bm = jnp.swapaxes(comb.reshape(t, bs, b), 1, 2).reshape(t * b, bs)[
         :nblk
     ]
-    thr_bm = _thr_block_major(width, nblk, b)
-    mask = nib_bm == thr_bm
+    mask = comb_bm >= 256
+    nib_bm = comb_bm & 255
     # cw must match the ENCODER's chunk geometry (stored in the container
     # meta; sharded encoders chunk per shard)
     cw = cw or chunk_width(nblk * bs, bs)

@@ -332,8 +332,6 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
     if dpk:
         from .ops import idpack
 
-        header.dpk = True
-        header.dpkz = cfg.dpk_host_codec == "deflate"
         header.shuffle = cfg.shuffle
         with timer.stage("zlib"):
             dcb, acb = dc.tobytes(), ac.tobytes()
@@ -350,6 +348,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 chunk_width(n_pad, cfg.block_size),
                 n_pad,
                 cfg,
+                header,
             ) + (
                 entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
                 entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
@@ -435,13 +434,26 @@ def _dpk_pack_device(bin_ids_dev: jax.Array, n: int):
 
 
 def _dpk_sections(
-    width, packed_rows, exc_rows, exc_counts, ac_counts, tile_b, cw, n_stream, cfg
+    width,
+    packed_rows,
+    exc_rows,
+    exc_counts,
+    ac_counts,
+    tile_b,
+    cw,
+    n_stream,
+    cfg,
+    header,
 ):
     """Host assembly of the 4 DPK id sections: slice each fixed-capacity
-    device row to its tight byte count (one boolean extract — the only host
-    work proportional to the stream) and deflate the small side streams."""
+    device row to its tight byte count (one threaded gather — the only host
+    work proportional to the stream), code the small side streams, and set
+    the container flags on `header`."""
+    from . import native
     from .ops import idpack
 
+    header.dpk = True
+    header.dpkz = cfg.dpk_host_codec == "deflate"
     width = np.asarray(width)
     packed_rows = np.asarray(packed_rows)
     exc_rows = np.asarray(exc_rows)
@@ -463,14 +475,26 @@ def _dpk_sections(
         )
     else:
         packed_sec = [tight.tobytes()]  # device-coded: stored verbatim
+    if (
+        cfg.ids_zlib_level is None
+        and exc_tight.nbytes >= (1 << 18)
+        and native.available()
+    ):
+        # large exception streams default to the native rANS: ~6x faster
+        # than deflate for ~8% of ITS size; below 256 KiB the per-chunk
+        # frequency tables don't amortize and deflate wins both ways. An
+        # explicit ids_zlib_level opts back into deflate at that level.
+        header.rans = True
+        exc_sec = [native.rans_compress(exc_tight.tobytes())]
+    else:
+        # level 3: measured smaller AND faster than 6 on this stream
+        exc_sec = entropy.chunked_deflate(
+            exc_tight.tobytes(), cfg.chunk_bytes, min(lvl, 3)
+        )
     return (
         entropy.chunked_deflate(width.tobytes(), cfg.chunk_bytes, lvl),
         packed_sec,
-        # level 3: measured smaller AND faster than 6 on the block-major
-        # exception stream
-        entropy.chunked_deflate(
-            exc_tight.tobytes(), cfg.chunk_bytes, min(lvl, 3)
-        ),
+        exc_sec,
         entropy.chunked_deflate(meta, cfg.chunk_bytes, lvl),
     )
 
@@ -508,7 +532,13 @@ def _dpk_host_rebuild(header: ct.Header, streams):
         else b"".join(packed_raw)
     )
     rows = entropy.pad_row_prefixes(tight, bpr, tile_b // 2, np.uint8)
-    exc_tight = np.frombuffer(entropy.chunked_inflate(exc_z), np.uint8)
+    if header.rans:  # in DPK containers the rans flag covers the exceptions
+        from . import native
+
+        exc_bytes = native.rans_decompress(b"".join(exc_z))
+    else:
+        exc_bytes = entropy.chunked_inflate(exc_z)
+    exc_tight = np.frombuffer(exc_bytes, np.uint8)
     peak_e = int(exc_counts.max()) if exc_counts.size else 0
     cape = next(
         c
@@ -787,8 +817,6 @@ def compress(
     if dpk:
         from .ops import idpack
 
-        header.dpk = True
-        header.dpkz = cfg.dpk_host_codec == "deflate"
         header.shuffle = cfg.shuffle
         with timer.stage("zlib"):
             dcb, acb = dc.tobytes(), ac.tobytes()
@@ -810,6 +838,7 @@ def compress(
                 cw,
                 n,
                 cfg,
+                header,
             ) + (
                 entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
                 entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
@@ -1085,8 +1114,6 @@ def compress_sharded(
         width, packed_rows, exc_rows, exc_counts, dpk_ac_counts, _ = (
             jax.device_get(extra)
         )
-        header.dpk = True
-        header.dpkz = cfg.dpk_host_codec == "deflate"
         streams = _dpk_sections(
             width,
             packed_rows,
@@ -1097,6 +1124,7 @@ def compress_sharded(
             qz.chunk_width(n_pad // n_dev, cfg.block_size),
             n_pad,
             cfg,
+            header,
         ) + dc_ac_z
         return ct.pack_v2(
             header,

@@ -142,8 +142,6 @@ def _pack_local_container(
     if dpk_parts is not None:
         from ..ops import idpack
 
-        header.dpk = True
-        header.dpkz = cfg.dpk_host_codec == "deflate"
         width_l, packed_l, exc_rows_l, exc_counts_l, ac_counts_l = dpk_parts
         streams = _dpk_sections(
             width_l,
@@ -155,6 +153,7 @@ def _pack_local_container(
             qz.chunk_width(shard_elems, cfg.block_size),
             bin_ids_l.size,  # host-local padded stream length
             cfg,
+            header,
         ) + dc_ac_z
     else:
         streams = (

@@ -312,7 +312,8 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             # reference quirk: slot 0 = DC of the last REAL block
             # (dctz-comp-lib.c:355-360); padding blocks don't count
             qtable[0] = dc[-(-n // cfg.block_size) - 1]
-    ac = entropy.take_row_prefixes(ac_chunks, counts)
+    with timer.stage("zlib"):  # host assembly work, counted in the host stage
+        ac = entropy.take_row_prefixes(ac_chunks, counts)
 
     header = ct.Header(
         dtype=src_dtype,
@@ -334,10 +335,6 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
 
         header.shuffle = cfg.shuffle
         with timer.stage("zlib"):
-            dcb, acb = dc.tobytes(), ac.tobytes()
-            if cfg.shuffle:
-                dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
-                acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
             streams = _dpk_sections(
                 width,
                 packed_rows,
@@ -350,8 +347,8 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 cfg,
                 header,
             ) + (
-                entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
-                entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+                _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+                _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
             )
             return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
     stream_len = n if cfg.container == "v1" else n_pad
@@ -369,13 +366,9 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             )
             return ct.pack_v1(header, bz, dz, az, qtable)
         header.shuffle = cfg.shuffle
-        dcb, acb = dc.tobytes(), ac.tobytes()
-        if cfg.shuffle:
-            dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
-            acb = entropy.shuffle_bytes(acb, ac.dtype.itemsize)
         streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
-            entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
-            entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+            _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+            _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
         )
         return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
@@ -412,6 +405,33 @@ def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
         ),
         entropy.chunked_deflate(exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1),
     )
+
+
+def _float_sections(
+    raw: bytes, isz: int, cfg: CodecConfig, header: ct.Header
+) -> list[bytes]:
+    """v2 section chunks for a DC/AC float stream. float_codec="plane" codes
+    each byte plane by its cheapest method (raw for near-random mantissa
+    planes — skipping deflate entirely is the fast path); "deflate" keeps the
+    whole-stream shuffle+deflate sections."""
+    if cfg.float_codec == "plane":
+        header.plc = True
+        return entropy.encode_float_stream(
+            raw, isz if cfg.shuffle else 1, cfg.chunk_bytes, cfg.zlib_level
+        )
+    if cfg.shuffle:
+        raw = entropy.shuffle_bytes(raw, isz)
+    return entropy.chunked_deflate(raw, cfg.chunk_bytes, cfg.zlib_level)
+
+
+def _decode_float_section(header: ct.Header, chunks) -> bytes:
+    """Inverse of _float_sections (branching on the container flags)."""
+    if header.plc:
+        return entropy.decode_float_stream(chunks)
+    raw = entropy.chunked_inflate(chunks)
+    if header.shuffle:
+        raw = entropy.unshuffle_bytes(raw, header.stored_dtype.itemsize)
+    return raw
 
 
 # --- device-packed ids ("DPK", ids_codec="device") host glue ---------------
@@ -547,12 +567,8 @@ def _dpk_host_rebuild(header: ct.Header, streams):
     )
     exc_rows = entropy.pad_row_prefixes(exc_tight, exc_counts, cape, np.uint8)
 
-    dc_raw = entropy.chunked_inflate(dz)
-    ac_raw = entropy.chunked_inflate(az)
-    if header.shuffle:
-        isz = header.stored_dtype.itemsize
-        dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
-        ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+    dc_raw = _decode_float_section(header, dz)
+    ac_raw = _decode_float_section(header, az)
     return (
         width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
         ac_counts, nblk,
@@ -657,12 +673,8 @@ def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes
     else:
         (bz, dz, az) = streams
         bindex = entropy.chunked_inflate(bz)
-    dc_raw = entropy.chunked_inflate(dz)
-    ac_raw = entropy.chunked_inflate(az)
-    if header.shuffle:
-        isz = header.stored_dtype.itemsize
-        dc_raw = entropy.unshuffle_bytes(dc_raw, isz)
-        ac_raw = entropy.unshuffle_bytes(ac_raw, isz)
+    dc_raw = _decode_float_section(header, dz)
+    ac_raw = _decode_float_section(header, az)
     return bindex, dc_raw, ac_raw
 
 
@@ -819,11 +831,6 @@ def compress(
 
         header.shuffle = cfg.shuffle
         with timer.stage("zlib"):
-            dcb, acb = dc.tobytes(), ac.tobytes()
-            if cfg.shuffle:
-                isz = dc.dtype.itemsize
-                dcb = entropy.shuffle_bytes(dcb, isz)
-                acb = entropy.shuffle_bytes(acb, isz)
             # n_stream = TRUE length: the XLA encoder gave the tail block a
             # rem-point basis, and decode mirrors block structure from
             # n_stream (the fused path stores the padded length instead —
@@ -840,8 +847,8 @@ def compress(
                 cfg,
                 header,
             ) + (
-                entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
-                entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+                _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+                _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
             )
             return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
     flat_ids = bin_ids.reshape(-1)[:n]
@@ -858,14 +865,9 @@ def compress(
             return ct.pack_v1(header, bz, dz, az, qtable)
 
         header.shuffle = cfg.shuffle
-        isz = dc.dtype.itemsize
-        dcb, acb = dc.tobytes(), ac.tobytes()
-        if cfg.shuffle:
-            dcb = entropy.shuffle_bytes(dcb, isz)
-            acb = entropy.shuffle_bytes(acb, isz)
         streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
-            entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
-            entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+            _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+            _float_sections(ac.tobytes(), np.asarray(ac).dtype.itemsize, cfg, header),
         )
         return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
@@ -1101,13 +1103,11 @@ def compress_sharded(
         truncate=cfg.truncate,
     )
     header.shuffle = cfg.shuffle
-    dcb, acb = dc.tobytes(), np.asarray(ac).tobytes()
-    if cfg.shuffle:
-        dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
-        acb = entropy.shuffle_bytes(acb, np.asarray(ac).dtype.itemsize)
     dc_ac_z = (
-        entropy.chunked_deflate(dcb, cfg.chunk_bytes, cfg.zlib_level),
-        entropy.chunked_deflate(acb, cfg.chunk_bytes, cfg.zlib_level),
+        _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+        _float_sections(
+            np.asarray(ac).tobytes(), np.asarray(ac).dtype.itemsize, cfg, header
+        ),
     )
     if dpk:
         # per-shard tile-/chunk-major outputs ARE the global layout

@@ -62,6 +62,13 @@ class CodecConfig:
         needs jax x64 enabled); "float32" forces the fast single-precision
         device path regardless of input dtype (bound semantics then include a
         ~1e-6-relative transform error term, see docs/numerics.md).
+      float_codec: coding of the DC/AC float streams in v2 containers.
+        "plane" (default) splits the shuffled stream into byte planes and
+        codes each by its cheapest method (raw for the near-random low
+        mantissa planes, chunked deflate for the exponent/sign planes):
+        equal ratio to whole-stream shuffle+deflate within ~0.3% at ~3x the
+        speed both ways (measured on the bench DC/AC streams). "deflate"
+        keeps the round-1 whole-stream shuffle+deflate sections.
       dpk_host_codec: optional host second stage over the device-packed id
         section (ids_codec="device" only). "none" ships the packed bytes
         verbatim (maximum throughput: the host only concatenates);
@@ -93,6 +100,7 @@ class CodecConfig:
     shuffle: bool = True
     ids4: bool = True
     ids_codec: Literal["auto", "deflate", "rans", "device"] = "auto"
+    float_codec: Literal["plane", "deflate"] = "plane"
     dpk_host_codec: Literal["none", "deflate"] = "none"
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"

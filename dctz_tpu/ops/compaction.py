@@ -78,16 +78,47 @@ def expand_chunked(
     capc = ac_chunks.shape[1]
     rank = jnp.cumsum(mask2.astype(jnp.int32), axis=-1) - 1  # (nc, cw)
     rank = jnp.where(mask2, rank, -1)
-    onehot = (
-        rank[:, :, None] == jnp.arange(capc, dtype=jnp.int32)[None, None, :]
-    ).astype(ac_chunks.dtype)
-    out = jnp.einsum(
-        "cjk,ck->cj",
-        onehot,
-        ac_chunks,
+    lo_w = 16
+    if capc % lo_w or capc <= lo_w:
+        # single full-width one-hot (small caps / odd geometry)
+        onehot = (
+            rank[:, :, None]
+            == jnp.arange(capc, dtype=jnp.int32)[None, None, :]
+        ).astype(ac_chunks.dtype)
+        return jnp.einsum(
+            "cjk,ck->cj",
+            onehot,
+            ac_chunks,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # rank = hi*lo_w + lo decomposition: the materialized one-hot shrinks
+    # from capc to lo_w columns (the HBM cost center — the full (nc, cw,
+    # capc) f32 operand is ~17 GB of traffic at bench shapes). Step 1 picks
+    # vals[c, h, lo(j)] for EVERY hi-group h via a small batched matmul;
+    # step 2 selects the right group with a fused iota-compare + reduce.
+    # Each output still receives exactly one term -> f32 arithmetic exact.
+    hi_n = capc // lo_w
+    vals3 = ac_chunks.reshape(nc, hi_n, lo_w)
+    ohl = (
+        (rank & (lo_w - 1))[:, :, None]
+        == jnp.arange(lo_w, dtype=jnp.int32)[None, None, :]
+    ).astype(ac_chunks.dtype)  # (nc, cw, lo_w)
+    t = jax.lax.dot_general(
+        ohl,
+        vals3,
+        (((2,), (2,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
+    )  # (nc, cw, hi_n)
+    ohh = jnp.where(
+        mask2[:, :, None]
+        & (
+            (rank >> (lo_w.bit_length() - 1))[:, :, None]
+            == jnp.arange(hi_n, dtype=jnp.int32)[None, None, :]
+        ),
+        jnp.ones((), ac_chunks.dtype),
+        jnp.zeros((), ac_chunks.dtype),
     )
-    return out
+    return jnp.sum(t * ohh, axis=2)
 
 
 def use_chunked_compaction() -> bool:

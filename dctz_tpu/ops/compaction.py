@@ -72,7 +72,12 @@ def expand_chunked(
 
     mask2: (nc, cw) bool; ac_chunks: (nc, capc). The k-th masked position of
     chunk c receives ac_chunks[c, k] — computed as a one-hot MXU contraction
-    (each output gets exactly one term, so the f32 arithmetic is exact).
+    (each output gets exactly one term, so the float arithmetic is exact).
+
+    Callers whose values fit bf16 exactly (e.g. id BYTES <= 255: 8
+    significant bits) should pass ac_chunks as bfloat16 — the one-hot
+    operand and the picked-value intermediate halve in HBM traffic and the
+    f32-accumulated result is still exact; output dtype follows the input.
     """
     nc, cw = mask2.shape
     capc = ac_chunks.shape[1]
@@ -108,17 +113,18 @@ def expand_chunked(
         vals3,
         (((2,), (2,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
-    )  # (nc, cw, hi_n)
+        preferred_element_type=jnp.float32,
+    )  # (nc, cw, hi_n) f32 accumulation (exact even for bf16 operands)
     ohh = jnp.where(
         mask2[:, :, None]
         & (
             (rank >> (lo_w.bit_length() - 1))[:, :, None]
             == jnp.arange(hi_n, dtype=jnp.int32)[None, None, :]
         ),
-        jnp.ones((), ac_chunks.dtype),
-        jnp.zeros((), ac_chunks.dtype),
+        jnp.float32(1),
+        jnp.float32(0),
     )
-    return jnp.sum(t * ohh, axis=2)
+    return jnp.sum(t * ohh, axis=2).astype(ac_chunks.dtype)
 
 
 def use_chunked_compaction() -> bool:

@@ -260,9 +260,10 @@ def unpack_ids(
     # meta; sharded encoders chunk per shard)
     cw = cw or chunk_width(nblk * bs, bs)
     # exception bytes return via the same one-hot contraction as the AC
-    # stream; values <= 255 are exact in f32
+    # stream; values <= 255 have 8 significant bits -> exact in bfloat16,
+    # which halves the expansion's HBM traffic (see expand_chunked)
     exc = cp.expand_chunked(
-        mask.reshape(-1, cw), exc_rows.astype(jnp.float32)
+        mask.reshape(-1, cw), exc_rows.astype(jnp.bfloat16)
     ).reshape(nblk, bs)
     ids = jnp.where(mask, exc.astype(jnp.int32), nib_bm)
     col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)

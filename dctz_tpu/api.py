@@ -575,39 +575,53 @@ def _dpk_host_rebuild(header: ct.Header, streams):
     )
 
 
+def _dpk_decode_prep(header: ct.Header, streams):
+    """Host stage of DPK decompress: re-inflate the small side streams and
+    re-pad the tight layouts into fixed-capacity device arrays.
+
+    Returns ((width, packed_rows, exc_rows, dc, ac) numpy arrays,
+    (n_stream, tile_b, cw, cfg, ac_layout)). Split out of _decompress_dpk so
+    the driver benchmark can time the device program in isolation."""
+    from .ops import compaction as cp
+
+    (
+        width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
+        ac_counts, nblk,
+    ) = _dpk_host_rebuild(header, streams)
+
+    cfg = _header_config(header)
+    stored = np.dtype(np.float32)
+    if (
+        len(dc_raw) == nblk * header.dtype.itemsize
+        and header.dtype != stored
+    ):
+        stored = header.dtype
+        cfg = dataclasses.replace(cfg, truncate=False)
+    dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+    ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+
+    ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
+    if ac_layout == "chunked":
+        # stored per-chunk counts: no id-stream rescan on the host
+        peak = int(ac_counts.max()) if ac_counts.size else 0
+        tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
+        capc = next(tt for tt in tiers if tt >= min(peak, cw))
+        ac = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
+    elif header.ac_count == 0:
+        ac = np.zeros((1,), stored)
+    return (width, rows, exc_rows, dc, ac), (n_stream, tile_b, cw, cfg, ac_layout)
+
+
 def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
     """Decompress a DPK container: the host only re-inflates the small side
     streams and re-pads the tight layouts into fixed-capacity rows; the id
     stream itself is decoded on device (_decode_device_dpk)."""
-    from .ops import compaction as cp
-
     with timer.stage("host"):
-        (
-            width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
-            ac_counts, nblk,
-        ) = _dpk_host_rebuild(header, streams)
-
+        host_arrays, (n_stream, tile_b, cw, cfg, ac_layout) = (
+            _dpk_decode_prep(header, streams)
+        )
+        width, rows, exc_rows, dc, ac = host_arrays
         n = header.num_elements
-        cfg = _header_config(header)
-        stored = np.dtype(np.float32)
-        if (
-            len(dc_raw) == nblk * header.dtype.itemsize
-            and header.dtype != stored
-        ):
-            stored = header.dtype
-            cfg = dataclasses.replace(cfg, truncate=False)
-        dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
-        ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
-
-        ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
-        if ac_layout == "chunked":
-            # stored per-chunk counts: no id-stream rescan on the host
-            peak = int(ac_counts.max()) if ac_counts.size else 0
-            tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
-            capc = next(tt for tt in tiers if tt >= min(peak, cw))
-            ac = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
-        elif header.ac_count == 0:
-            ac = np.zeros((1,), stored)
 
     out_dtype = header.dtype
     work = (

@@ -159,10 +159,41 @@ def _decode_device_dpk(
 ):
     """Decompression from the device-packed id stream: unpack on device
     (ops/idpack.py), then the shared decode body — the raw bin_index bytes
-    never exist on the host."""
+    never exist on the host. Default geometry takes the single-pass fused
+    Pallas kernel (ops/fused_decode.py) instead of the XLA chain."""
+    from .ops import fused_decode as fd
     from .ops import idpack
 
     nblk = -(-n // cfg.block_size)
+    if (
+        fd.enabled()
+        and ac_layout == "chunked"
+        and jnp.dtype(dtype) == jnp.float32
+        and n % cfg.block_size == 0
+        and cfg.nbins == C.NBINS
+        and fd.eligible(
+            jnp.float32,
+            cfg.block_size,
+            tile_b,
+            cw,
+            exc_rows.shape[1],
+            ac_buf.shape[1],
+        )
+    ):
+        return fd.fused_decode_dpk(
+            width,
+            packed_rows,
+            exc_rows,
+            dc,
+            ac_buf,
+            sf.astype(jnp.float32),
+            n,
+            tile_b,
+            cw,
+            cfg,
+            qtable,
+            fd._INTERPRET,
+        )
     bin_ids = idpack.unpack_ids(
         width, packed_rows, exc_rows, nblk, cfg.block_size, tile_b, cw
     )

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="v1 = reference-compatible format; v2 = chunked TPU format",
     )
     p.add_argument(
+        "--ids-codec",
+        choices=["auto", "deflate", "rans", "device"],
+        default="auto",
+        help="bin-index stream coder (v2 only): device = DPK, coded on-chip",
+    )
+    p.add_argument(
         "--native",
         action="store_true",
         help="use the C++ CPU reference codec instead of the JAX pipeline",
@@ -118,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
         from .config import CodecConfig
 
         cfg = CodecConfig(
-            mode=args.mode, error_bound=eb, container=args.container
+            mode=args.mode,
+            error_bound=eb,
+            container=args.container,
+            ids_codec=args.ids_codec,
         )
         blob = compress(data, config=cfg)
     t_comp = time.perf_counter() - t0

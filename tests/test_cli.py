@@ -90,3 +90,21 @@ def test_native_engine(tmp_path):
     x.tofile(path)
     rc = main(["-d", "1E-3", "v", str(path), "5000", "--native", "--no-write"])
     assert rc == 0
+
+
+def test_ids_codec_device(tmp_path, capsys):
+    """--ids-codec device emits a DPK v2 container and round-trips."""
+    from dctz_tpu.core import container as ct
+
+    x = (np.sin(np.linspace(0, 30, 70_000)) * 9).astype(np.float32)
+    path = tmp_path / "dpk.bin"
+    x.tofile(path)
+    rc = main(
+        [
+            "-f", "1E-3", "v", str(path), "70000",
+            "--container", "v2", "--ids-codec", "device",
+        ]
+    )
+    assert rc == 0
+    header, *_ = ct.parse_v2((tmp_path / "dpk.bin.ec.1E-3.z").read_bytes())
+    assert header.dpk

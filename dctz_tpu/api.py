@@ -275,51 +275,91 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         )
         from .ops import idpack
 
-        out = pipeline(arr, sf, cfg.error_bound, None)
-        if not cfg.verify and dpk:
-            # dispatch the id packer eagerly and read BOTH overflow flags in
-            # one readback: each device_get costs a full tunnel/PCIe round
-            # trip. (ids don't depend on the AC capacity, so an AC-overflow
-            # retry never invalidates the packed ids; only an exception
-            # overflow forces a repack.)
-            # n_pad, not n: the fused path transforms whole zero-padded
-            # blocks, so every coefficient position in the padded grid
-            # carries real information (the decoder's n_stream = n_pad).
-            pk = idpack.pack_ids(out[0], n_pad, idpack.B_DEFAULT, idpack.CAPE)
-            ovf_ac, ovf_exc = (
-                bool(v) for v in jax.device_get((out[4], pk[4]))
-            )
-            if ovf_ac:
+        mega = None
+        if dpk and not cfg.verify and cfg.mode == "ec":
+            from .core.quantize import chunk_width as _cwf
+            from .ops import compaction as cp
+            from .ops import fused_encode_dpk as fed
+
+            if (
+                fed.enabled()
+                and idpack.B_DEFAULT == fed.B
+                and idpack.CAPE == fed.CAP
+                and cp.CAPC == fed.CAP
+                and _cwf(n_pad, cfg.block_size) == fed.CW
+            ):
+                out7 = fed.fused_encode_dpk(
+                    arr, sf, cfg.error_bound, fed._INTERPRET
+                )
+                ovf2 = jax.device_get(
+                    jnp.stack(
+                        [jnp.any(out7[5] > fed.CAP), jnp.any(out7[3] > fed.CAP)]
+                    )
+                )
+                if not (bool(ovf2[0]) or bool(ovf2[1])):
+                    mega = out7
+                # overflow (either stream): rare capacity retry — fall back
+                # to the unfused chain, which already owns that logic
+        if mega is not None:
+            dc, ac_chunks, counts = mega[6], mega[4], mega[5]
+            pk = mega[:4]
+            qtable_dev = None
+            bound_ok = None
+        else:
+            out = pipeline(arr, sf, cfg.error_bound, None)
+            if not cfg.verify and dpk:
+                # dispatch the id packer eagerly and read BOTH overflow
+                # flags in one readback: each device_get costs a full
+                # tunnel/PCIe round trip. (ids don't depend on the AC
+                # capacity, so an AC-overflow retry never invalidates the
+                # packed ids; only an exception overflow forces a repack.)
+                # n_pad, not n: the fused path transforms whole zero-padded
+                # blocks, so every coefficient position in the padded grid
+                # carries real information (the decoder's n_stream = n_pad).
+                pk = idpack.pack_ids(
+                    out[0], n_pad, idpack.B_DEFAULT, idpack.CAPE
+                )
+                ovf_ac, ovf_exc = (
+                    bool(v) for v in jax.device_get((out[4], pk[4]))
+                )
+                if ovf_ac:
+                    out = pipeline(
+                        arr,
+                        sf,
+                        cfg.error_bound,
+                        chunk_width(n_pad, cfg.block_size),
+                    )
+                if ovf_exc:
+                    pk = idpack.pack_ids(
+                        out[0], n_pad, idpack.B_DEFAULT, 1 << 20
+                    )
+                pk = pk[:4]
+            elif bool(jax.device_get(out[4])):
                 out = pipeline(
                     arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
                 )
-            if ovf_exc:
-                pk = idpack.pack_ids(out[0], n_pad, idpack.B_DEFAULT, 1 << 20)
-            pk = pk[:4]
-        elif bool(jax.device_get(out[4])):
-            out = pipeline(
-                arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
-            )
-        ids, dc, ac_chunks, counts = out[:4]
-        qtable_dev = out[5] if cfg.mode == "qt" else None
-        bound_ok = None
-        if cfg.verify:
-            rcfg = _device_cfg(cfg)
-            rep = _repair_fused(arr, sf, ids, dc, n, rcfg, None, qtable_dev)
-            if bool(jax.device_get(rep[3])):
+            ids, dc, ac_chunks, counts = out[:4]
+            qtable_dev = out[5] if cfg.mode == "qt" else None
+            bound_ok = None
+            if cfg.verify:
+                rcfg = _device_cfg(cfg)
                 rep = _repair_fused(
-                    arr,
-                    sf,
-                    ids,
-                    dc,
-                    n,
-                    rcfg,
-                    chunk_width(n_pad, cfg.block_size),
-                    qtable_dev,
+                    arr, sf, ids, dc, n, rcfg, None, qtable_dev
                 )
-            ids, ac_chunks, counts, _, bound_ok = rep
-            if dpk:
-                pk = _dpk_pack_device(ids, n_pad)
+                if bool(jax.device_get(rep[3])):
+                    rep = _repair_fused(
+                        arr,
+                        sf,
+                        ids,
+                        dc,
+                        n,
+                        rcfg,
+                        chunk_width(n_pad, cfg.block_size),
+                        qtable_dev,
+                    )
+                ids, ac_chunks, counts, _, bound_ok = rep
+                if dpk:
+                    pk = _dpk_pack_device(ids, n_pad)
     if bound_ok is not None and not bool(jax.device_get(bound_ok)):
         warnings.warn(
             "verify-repair could not fully satisfy the pointwise bound "

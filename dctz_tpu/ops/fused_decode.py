@@ -95,49 +95,46 @@ def _gather_consts_np(b: int) -> tuple[np.ndarray, np.ndarray]:
     return gat, sh
 
 
-def _expand_tile(maskf, vals, ltri, utri, chsel3, bs):
-    """Chunk-compacted vals (nc, cap) back to masked positions of one tile.
+_LO = 16  # rank = hi*_LO + lo decomposition (cf. compaction.expand_chunked)
 
-    maskf (b, bs) f32 0/1; returns (b, bs) f32, exact. rank = (# masked
-    before, row-major, within the chunk) via two 0/1 tri matmuls; the value
-    pick is ONE rank-3 contraction over the capacity axis giving per-chunk
-    columns, then a per-row chunk-select reduce (each row r belongs to chunk
-    r // bpc, precomputed in chsel3 (b, 1, nc))."""
+
+def _expand_tile(maskf, rows_h, ltri, utri, chsel, bs):
+    """Chunk-compacted values back to the masked positions of one tile.
+
+    maskf (b, bs) f32 0/1; rows_h = list of (nc, _LO) capacity-row slices,
+    one per hi digit (rows_h[h][c, lo] = vals[c, h*_LO + lo]); chsel
+    (b, nc) row->chunk selector. Returns (b, bs) f32, exact: rank = (#
+    masked before, row-major, within the chunk) via two 0/1 tri matmuls;
+    per hi digit, a 2D chunk-select matmul then ONE batched (b)x(bs,_LO)@
+    (_LO,) contraction (the only dot_general forms Mosaic lowers — rank-3
+    operands with two free dims or two contracted dims fail
+    infer-vector-layout), selected by the hi one-hot on the VPU. The
+    decomposition keeps every materialized one-hot _LO (not cap) columns
+    wide — the full-capacity variant measured ~3.5x slower end-to-end."""
     b = maskf.shape[0]
-    nc, cap = vals.shape
     # counts are small integers: 0/1 x 0/1 products with f32 accumulation
     # are exact at DEFAULT (single-pass bf16) speed
     full = jnp.dot(ltri, maskf, preferred_element_type=jnp.float32)
     f = jnp.sum(full, axis=1, keepdims=True)  # (b, 1) rows-before count
     p = jnp.dot(maskf, utri, preferred_element_type=jnp.float32)
     rank = (f + p).astype(jnp.int32) - 1  # (b, bs)
+    rank = jnp.where(maskf > 0, rank, -1)  # -1: lo digit 15 can match
+    # spuriously but hi -1 (arithmetic shift) never does -> reads 0
 
-    mk = (maskf > 0).astype(jnp.int32)
-    halves = []
-    h = b // 2  # bound the (h, bs, cap) one-hot's VMEM footprint
-    for s in range(2):
-        rk = rank[s * h : (s + 1) * h]
-        eq = jnp.where(
-            rk[:, :, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (h, bs, cap), 2),
-            1,
-            0,
-        )
-        mk_h = mk[s * h : (s + 1) * h]  # separate slice: the fused
-        # slice+newaxis getitem lowers to an unsupported gather
-        oh = (eq * mk_h[:, :, None]).astype(jnp.float32)
-        # one real (h*bs, cap) @ (cap, nc) MXU matmul; exact (one term/row)
-        t1 = jax.lax.dot_general(
-            oh,
-            vals,
-            (((2,), (1,)), ((), ())),
+    ohl = (
+        (rank & (_LO - 1))[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (b, bs, _LO), 2)
+    ).astype(jnp.float32)
+    rh = rank >> 4
+    out = jnp.zeros((b, bs), jnp.float32)
+    for h, rows in enumerate(rows_h):
+        rowsv = jnp.dot(chsel, rows, preferred_element_type=jnp.float32)
+        t2 = jax.lax.dot_general(
+            ohl, rowsv, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=_HI,
-        )  # (h, bs, nc)
-        halves.append(
-            jnp.sum(t1 * chsel3[s * h : (s + 1) * h], axis=2)
-        )
-    return jnp.concatenate(halves, axis=0)
+        )  # (b, bs): exactly one lo term; valid only where rh == h
+        out = out + jnp.where(rh == h, t2, 0.0)
+    return out
 
 
 def _kernel(
@@ -152,6 +149,8 @@ def _kernel(
     sh_ref,
     basis_ref,
     qt_ref,
+    spl_e_ref,
+    spl_c_ref,
     x_ref,
     *,
     b: int,
@@ -212,12 +211,24 @@ def _kernel(
     utri = (cpre_r <= cpre_c).astype(jnp.float32)
     ch_r = jax.lax.broadcasted_iota(jnp.int32, (b, nc), 0)
     ch_c = jax.lax.broadcasted_iota(jnp.int32, (b, nc), 1)
-    chsel3 = jnp.where(ch_r // bpc == ch_c, 1.0, 0.0)[:, None, :]
+    chsel = jnp.where(ch_r // bpc == ch_c, 1.0, 0.0)
 
     # --- per-tile expansions (VMEM-bounded), batched everything after
     excf = mask_exc.astype(jnp.float32)
-    exc_all = exc_ref[:].astype(jnp.int32).astype(jnp.float32)
-    ac_all = ac_ref[:]
+    # pre-split the capacity rows by rank digit via one-term selector
+    # matmuls (constant (cap, _LO) slices of the identity)
+    exc_f = exc_ref[:].astype(jnp.int32).astype(jnp.float32)
+    ac_f = ac_ref[:]
+    he = cape // _LO
+    hc = capc // _LO
+    exc_h = [
+        jnp.dot(exc_f, spl_e_ref[h], preferred_element_type=jnp.float32)
+        for h in range(he)
+    ]
+    ac_h = [
+        jnp.dot(ac_f, spl_c_ref[h], preferred_element_type=jnp.float32)
+        for h in range(hc)
+    ]
     ids_parts = []
     ac_parts = []
     colb_t = jax.lax.broadcasted_iota(jnp.int32, (b, bs), 1)
@@ -225,7 +236,7 @@ def _kernel(
         rsl = slice(ti * b, (ti + 1) * b)
         csl = slice(ti * nc, (ti + 1) * nc)
         exc_val = _expand_tile(
-            excf[rsl], exc_all[csl], ltri, utri, chsel3, bs
+            excf[rsl], [r[csl] for r in exc_h], ltri, utri, chsel, bs
         )  # id bytes <= 255: exact in f32
         ids_t = jnp.where(
             mask_exc[rsl], exc_val.astype(jnp.int32), nib_bm[rsl]
@@ -233,7 +244,12 @@ def _kernel(
         esc_t = (ids_t == C.ESCAPE) & (colb_t >= 1)
         ac_parts.append(
             _expand_tile(
-                esc_t.astype(jnp.float32), ac_all[csl], ltri, utri, chsel3, bs
+                esc_t.astype(jnp.float32),
+                [r[csl] for r in ac_h],
+                ltri,
+                utri,
+                chsel,
+                bs,
             )
         )
         ids_parts.append(ids_t)
@@ -272,8 +288,12 @@ def eligible(
         and b % 2 == 0
         and cw % bs == 0
         and (b * bs) % cw == 0
+        # capacity tiers are {32, 64, 128}: the hi/lo rank decomposition
+        # needs a multiple of the 16-wide lo digit
         and 0 < cape <= 128
         and 0 < capc <= 128
+        and cape % _LO == 0
+        and capc % _LO == 0
     )
 
 
@@ -342,6 +362,8 @@ def fused_decode_dpk(
         if qt_mode
         else jnp.zeros((1, bs), jnp.float32)
     )
+    spl_e = jnp.asarray(_split_const_np(cape))
+    spl_c = jnp.asarray(_split_const_np(capc))
 
     x = pl.pallas_call(
         functools.partial(
@@ -378,6 +400,16 @@ def fused_decode_dpk(
             pl.BlockSpec((8, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bs, bs), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bs), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cape // _LO, cape, _LO),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (capc // _LO, capc, _LO),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (tpt * b, bs), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -399,8 +431,19 @@ def fused_decode_dpk(
         jnp.asarray(sh_np),
         jnp.asarray(_idct_basis_np(), jnp.float32),
         qt_in,
+        spl_e,
+        spl_c,
     )
     return x.reshape(-1)[:n_stream]
+
+
+def _split_const_np(cap: int) -> np.ndarray:
+    """(cap//_LO, cap, _LO) selector stack: m[h][s, lo] = (s == h*_LO+lo).
+    Indexed per hi digit in the kernel (leading-dim ref slicing)."""
+    m = np.zeros((cap // _LO, cap, _LO), np.float32)
+    s = np.arange(cap)
+    m[s >> 4, s, s & (_LO - 1)] = 1.0
+    return m
 
 
 def _idct_basis_np() -> np.ndarray:

@@ -145,22 +145,41 @@ def _amortized_s(call) -> float:
 
 
 def amortized_device_encode_s(x) -> float:
-    """The compress() device stage (api._compress_fused device block):
-    stats -> fused encode pipeline -> device id packing."""
+    """The compress() device stage, as api._compress_fused dispatches it:
+    stats -> fully-fused DPK encode kernel (fused_encode_dpk) when eligible,
+    else the three-program chain (fused encode pipeline + id packer)."""
     from dctz_tpu import api
-    from dctz_tpu.ops import fused_encode as fe, idpack
+    from dctz_tpu.core.quantize import chunk_width
+    from dctz_tpu.ops import compaction as cp
+    from dctz_tpu.ops import fused_encode as fe
+    from dctz_tpu.ops import fused_encode_dpk as fed
+    from dctz_tpu.ops import idpack
 
     assert N % 1024 == 0  # no pad tail at bench shape
+    mega = (
+        fed.enabled()
+        and idpack.B_DEFAULT == fed.B
+        and idpack.CAPE == fed.CAP
+        and cp.CAPC == fed.CAP
+        and chunk_width(N, CFG.block_size) == fed.CW
+    )
 
     def call(eps):
         arr = x + eps
         sf, mean = api._stats_device(arr, N, CFG.sf_adj)
-        ids, dc, ac_chunks, counts, ovf = fe.fused_encode_pipeline(
-            arr, sf, CFG.error_bound, None
-        )
-        wdt, packed, exc_rows, exc_counts, exc_ovf = idpack.pack_ids(
-            ids, N, idpack.B_DEFAULT, idpack.CAPE
-        )
+        if mega:
+            wdt, packed, exc_rows, exc_counts, ac_chunks, counts, dc = (
+                fed.fused_encode_dpk(arr, sf, CFG.error_bound, False)
+            )
+            ovf = jnp.any(counts > fed.CAP).astype(jnp.float32)
+            exc_ovf = jnp.any(exc_counts > fed.CAP).astype(jnp.float32)
+        else:
+            ids, dc, ac_chunks, counts, ovf = fe.fused_encode_pipeline(
+                arr, sf, CFG.error_bound, None
+            )
+            wdt, packed, exc_rows, exc_counts, exc_ovf = idpack.pack_ids(
+                ids, N, idpack.B_DEFAULT, idpack.CAPE
+            )
         # consume every output so nothing is dead-code eliminated
         return (
             jnp.sum(packed.astype(jnp.float32))

@@ -738,6 +738,89 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
     return out[:n]
 
 
+def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndarray:
+    """Sharded decompress of a DPK container: re-pad the tile-/chunk-major
+    host layouts to a whole-tile multiple of the mesh size (synthetic zero
+    tiles decode to zero blocks) and run the shard-local decode program
+    (parallel/sharding.decode_sharded_dpk) over the mesh."""
+    from .parallel import sharding as sh
+
+    (
+        width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
+        ac_counts, nblk,
+    ) = _dpk_host_rebuild(header, streams)
+    n = header.num_elements
+    cfg = _header_config(header)
+    bs = header.block_size
+    n_dev = mesh.devices.size
+    if n_stream % bs:
+        # rem-point tail basis (XLA-encoded container with a partial tail
+        # block): the sharded body transforms whole blocks only — decode
+        # single-chip (device-encoded streams are always block-padded)
+        from .utils.timing import StageTimer
+
+        return _decompress_dpk(header, streams, qtable, StageTimer())
+
+    stored = np.dtype(np.float32)
+    if len(dc_raw) == nblk * header.dtype.itemsize and header.dtype != stored:
+        stored = header.dtype
+        cfg = dataclasses.replace(cfg, truncate=False)
+    dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+    ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+
+    # chunked AC rows straight from the stored per-chunk counts (no id
+    # rescan); chunked layout regardless of backend — counts are free here
+    peak = int(ac_counts.max()) if ac_counts.size else 0
+    tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
+    capc = next(tt for tt in tiers if tt >= min(peak, cw))
+    ac_rows = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
+
+    # pad every array to tpd whole tiles (leading axes shard evenly)
+    t = width.shape[0]
+    tpd = -(-t // n_dev) * n_dev
+    epc = tile_b * bs // cw  # chunk rows per tile
+
+    def _pad_rows(a: np.ndarray, want: int) -> np.ndarray:
+        if a.shape[0] == want:
+            return a
+        pad = np.zeros((want - a.shape[0],) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad])
+
+    width = _pad_rows(width, tpd)
+    rows = _pad_rows(rows, tpd * bs)
+    exc_rows = _pad_rows(exc_rows, tpd * epc)
+    ac_rows = _pad_rows(ac_rows, tpd * epc)
+    dc = _pad_rows(dc, tpd * tile_b)
+
+    out_dtype = header.dtype
+    work = (
+        "float32"
+        if (out_dtype == np.float64 and not jax.config.jax_enable_x64)
+        else out_dtype.name
+    )
+    spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS))
+    qt = (
+        jnp.asarray(qtable).astype(jnp.dtype(work))
+        if qtable is not None
+        else None
+    )
+    x = sh.decode_sharded_dpk(
+        jax.device_put(width, spec),
+        jax.device_put(rows, spec),
+        jax.device_put(exc_rows, spec),
+        jax.device_put(dc, spec),
+        jax.device_put(ac_rows, spec),
+        jnp.asarray(header.scaling_factor, jnp.dtype(work)),
+        qt,
+        tile_b=tile_b,
+        cw=cw,
+        cfg=_device_cfg(cfg),
+        dtype=work,
+        mesh=mesh,
+    )
+    return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]
+
+
 def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes]:
     """Inflate + de-filter a v2 container's sections -> (bindex, dc, ac)."""
     if header.ids4:
@@ -1234,10 +1317,8 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
 
     header, streams, qtable, _cb = ct.parse_v2(blob)
     if header.dpk:
-        # device-packed ids: the single-chip decode program already runs
-        # the unpack + decode on device (sharding the decode program over
-        # the mesh is a roadmap item; correctness path first)
-        return _decompress_dpk(header, streams, qtable, StageTimer())
+        mesh = mesh or sh.make_mesh()
+        return _decompress_dpk_sharded(header, streams, qtable, mesh)
     bindex, dc_raw, ac_raw = _inflate_v2_streams(header, streams)
 
     n = header.num_elements

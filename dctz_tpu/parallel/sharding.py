@@ -252,6 +252,95 @@ def decode_sharded(
     )(bin_ids, dc, ac_shards, sf, qtable)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_b", "cw", "cfg", "dtype", "mesh"),
+)
+def decode_sharded_dpk(
+    width,
+    rows,
+    exc_rows,
+    dc,
+    ac_rows,
+    sf,
+    qtable,
+    *,
+    tile_b: int,
+    cw: int,
+    cfg: CodecConfig,
+    dtype: str,
+    mesh: Mesh,
+):
+    """Sharded decompression of a device-packed (DPK) container.
+
+    Every DPK input is tile-/chunk-major along the global position axis
+    (width: one row per tile; rows: bs packed rows per tile; exc_rows /
+    ac_rows: tile_b*bs/cw chunk rows per tile; dc: tile_b entries per
+    tile), so block-sharding the leading axes over the mesh hands each
+    shard whole tiles and decode is entirely shard-local — the only
+    replicated operands are the 4-byte sf and the QT qtable. The caller
+    pads to a tile multiple of n_devices (synthetic zero tiles decode to
+    zero blocks: width 0 rows unpack to all-center ids and consume no
+    exceptions). Per shard the same program as the single-chip path runs:
+    the fused Pallas kernel (ops/fused_decode.py) when eligible, else
+    unpack (ops/idpack.py) + the XLA decode chain."""
+    from ..core import constants as C
+    from ..ops import fused_decode as fd
+    from ..ops import idpack
+
+    bs = cfg.block_size
+    n_dev = mesh.devices.size
+    t_l = width.shape[0] // n_dev
+    n_local = t_l * tile_b * bs
+
+    use_fused = (
+        fd.enabled()
+        and jnp.dtype(dtype) == jnp.float32
+        and cfg.nbins == C.NBINS
+        and fd.eligible(
+            jnp.float32, bs, tile_b, cw, exc_rows.shape[1], ac_rows.shape[1]
+        )
+    )
+
+    def body(w_l, p_l, e_l, dc_l, ac_l, sf_rep, qt_rep):
+        qt = qt_rep if cfg.mode == "qt" else None
+        if use_fused:
+            return fd.fused_decode_dpk(
+                w_l,
+                p_l,
+                e_l,
+                dc_l,
+                ac_l,
+                sf_rep.astype(jnp.float32),
+                n_local,
+                tile_b,
+                cw,
+                cfg,
+                qt,
+                fd._INTERPRET,
+            )
+        bin_ids = idpack.unpack_ids(
+            w_l, p_l, e_l, n_local // bs, bs, tile_b, cw
+        )
+        coeffs = qz.decode(
+            bin_ids, dc_l, ac_l, qt, n_local, cfg, jnp.dtype(dtype), "chunked"
+        )
+        x = transform.block_idct_flat(coeffs)
+        return x * sf_rep.astype(x.dtype)
+
+    qt_in = (
+        qtable
+        if qtable is not None
+        else jnp.zeros((cfg.block_size,), jnp.dtype(dtype))
+    )
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 5 + (P(), P()),
+        out_specs=P(AXIS),
+    )(width, rows, exc_rows, dc, ac_rows, sf, qt_in)
+
+
 def shard_input(
     x: np.ndarray, mesh: Mesh, block_size: int, quantum_blocks: int = 1
 ):

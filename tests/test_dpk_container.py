@@ -153,6 +153,42 @@ def test_dpk_sharded_matches_single_chip():
 
 
 @pytest.mark.parametrize("mode", ["ec", "qt"])
+@pytest.mark.parametrize(
+    "n", [64 * 256 * 8 * 2, 64 * 300, 50_000]
+)
+def test_dpk_sharded_decode_matches_single_chip(mode, n):
+    """decompress_sharded on a DPK container must reconstruct bit-identically
+    to the single-chip decode: whole-tile and partial-tile block-multiple
+    sizes run the sharded program (zero-tile padding); a rem-point tail
+    (n % 64 != 0, XLA-encoded) takes the documented single-chip fallback."""
+    from dctz_tpu import decompress_sharded
+    from dctz_tpu.parallel import sharding as sh
+
+    x = _signal(n, np.float32, seed=n % 97)
+    blob = dctz_tpu.compress(x, config=_cfg(mode=mode, error_bound=1e-3))
+    header, *_ = ct.parse_v2(blob)
+    assert header.dpk
+    y1 = dctz_tpu.decompress(blob)
+    y2 = decompress_sharded(blob, mesh=sh.make_mesh())
+    assert y2.dtype == x.dtype and y2.shape == x.shape
+    np.testing.assert_array_equal(y2, y1)
+
+
+def test_dpk_sharded_decode_f64_container():
+    """f64 DPK containers decode sharded too (f32 work dtype without x64,
+    matching the single-chip path)."""
+    from dctz_tpu import decompress_sharded
+    from dctz_tpu.parallel import sharding as sh
+
+    x = _signal(64 * 470, np.float64, seed=11)
+    blob = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    y1 = dctz_tpu.decompress(blob)
+    y2 = decompress_sharded(blob, mesh=sh.make_mesh())
+    assert y2.dtype == np.float64
+    np.testing.assert_array_equal(y2, y1)
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
 def test_dpk_sharded_verify(mode):
     """DPK + verify-repair + sharding compose."""
     from dctz_tpu import compress_sharded

@@ -695,11 +695,7 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
         n = header.num_elements
 
     out_dtype = header.dtype
-    work = (
-        "float32"
-        if (out_dtype == np.float64 and not jax.config.jax_enable_x64)
-        else out_dtype.name
-    )
+    work = _decode_work_dtype(header, True)
     with timer.stage("transfer"):
         dev = (
             jnp.asarray(width),
@@ -793,11 +789,7 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
     dc = _pad_rows(dc, tpd * tile_b)
 
     out_dtype = header.dtype
-    work = (
-        "float32"
-        if (out_dtype == np.float64 and not jax.config.jax_enable_x64)
-        else out_dtype.name
-    )
+    work = _decode_work_dtype(header, True)
     spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS))
     qt = (
         jnp.asarray(qtable).astype(jnp.dtype(work))
@@ -870,6 +862,61 @@ def _chunk_escape_counts(flat_ids: np.ndarray, cw: int, bs: int) -> np.ndarray:
     return out - cw // bs
 
 
+# f64 fast-path policy. On TPU-like backends float64 is software-emulated
+# (the MXU is f32/bf16), so the x64 pipeline runs ~4x slower than f32. For
+# v2 containers with truncate=True the container ALREADY stores DC/AC as
+# float32 (the reference's USE_TRUNCATE, always on in shipped builds), so
+# running the whole pipeline in f32 adds only a ~1e-6-absolute (scaled
+# domain) transform-rounding term — negligible against eb >= 1e-5 and
+# repairable by cfg.verify. v1 containers are exempt to preserve byte
+# parity with the reference codec (docs/parity.md). Numbers and error
+# budget: docs/numerics.md. Test hook mirrors ops/fused_decode._FORCE.
+F64_FAST_EB_MIN = 1e-5
+_FORCE_F64_FAST: bool | None = None
+
+
+def _tpu_like_backend() -> bool:
+    if _FORCE_F64_FAST is not None:
+        return _FORCE_F64_FAST
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat not in ("cpu", "gpu")
+
+
+def _f64_fast_eligible(cfg: CodecConfig) -> bool:
+    return (
+        cfg.internal_dtype == "auto"
+        and cfg.container == "v2"
+        and cfg.truncate
+        and cfg.error_bound >= F64_FAST_EB_MIN
+        and _tpu_like_backend()
+    )
+
+
+def _decode_work_dtype(header: ct.Header, is_v2: bool) -> str:
+    """Device compute dtype for decode. f64 containers decode in f32 when
+    x64 is unavailable, and also — v2 + truncate + eb >= F64_FAST_EB_MIN on
+    TPU-like backends — under the f64 fast-path policy, symmetric with the
+    encode-side promotion in _resolve_input: the stored DC/AC streams are
+    float32 either way and the f32 IDCT adds the same documented
+    transform-rounding term (docs/numerics.md). v1 containers keep the
+    full-width decode for reference parity."""
+    if header.dtype != np.float64:
+        return header.dtype.name
+    if not jax.config.jax_enable_x64:
+        return "float32"
+    if (
+        is_v2
+        and header.truncate
+        and header.error_bound >= F64_FAST_EB_MIN
+        and _tpu_like_backend()
+    ):
+        return "float32"
+    return "float64"
+
+
 def _resolve_input(x, cfg: CodecConfig) -> jax.Array:
     """Validate dtype / x64 availability; apply internal_dtype policy."""
     arr = jnp.asarray(x)
@@ -877,13 +924,15 @@ def _resolve_input(x, cfg: CodecConfig) -> jax.Array:
         arr = arr.reshape(-1)  # reference treats data as flat 1-D
     if arr.dtype not in (jnp.float32, jnp.float64):
         raise TypeError(f"unsupported dtype {arr.dtype}; use float32/float64")
-    if cfg.internal_dtype == "float32" and arr.dtype == jnp.float64:
-        arr = arr.astype(jnp.float32)
-    if (
+    src_f64 = (
         np.dtype(x.dtype if hasattr(x, "dtype") else np.float64) == np.float64
-        and arr.dtype == jnp.float32
-        and cfg.internal_dtype == "auto"
-    ):
+    )
+    promote = src_f64 and (
+        cfg.internal_dtype == "float32" or _f64_fast_eligible(cfg)
+    )
+    if promote and arr.dtype == jnp.float64:
+        arr = arr.astype(jnp.float32)
+    if src_f64 and arr.dtype == jnp.float32 and not promote:
         warnings.warn(
             "float64 input was downcast to float32 because jax x64 is "
             "disabled; enable jax_enable_x64 for full-precision parity",
@@ -1066,7 +1115,8 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
         from . import stream as _stream
 
         return _stream.decompress_stream_all(io.BytesIO(bytes(blob)))
-    if ct.detect_format(blob) == "v2":
+    is_v2 = ct.detect_format(blob) == "v2"
+    if is_v2:
         header, streams, qtable, _cb = ct.parse_v2(blob)
         if header.dpk:
             return _decompress_dpk(header, streams, qtable, timer)
@@ -1124,10 +1174,7 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
             ac = np.zeros((1,), stored)
 
     out_dtype = header.dtype
-    if out_dtype == np.float64 and not jax.config.jax_enable_x64:
-        work_dtype = "float32"
-    else:
-        work_dtype = out_dtype.name
+    work_dtype = _decode_work_dtype(header, is_v2)
 
     with timer.stage("transfer"):
         ids_d = jnp.asarray(flat_ids.reshape(nblk, bs))
@@ -1190,8 +1237,10 @@ def compress_sharded(
         cfg = dataclasses.replace(cfg, container="v2")
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = np.asarray(jax.device_get(x)).reshape(-1)
-    if cfg.internal_dtype == "float32" or (
-        arr.dtype == np.float64 and not jax.config.jax_enable_x64
+    if arr.dtype == np.float64 and (
+        cfg.internal_dtype == "float32"
+        or not jax.config.jax_enable_x64
+        or _f64_fast_eligible(cfg)  # f64 fast path (docs/numerics.md)
     ):
         arr = arr.astype(np.float32)
     n = int(arr.shape[0])
@@ -1372,11 +1421,7 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
             ac_shards[d, : len(seg)] = seg
 
     out_dtype = header.dtype
-    work = (
-        "float32"
-        if (out_dtype == np.float64 and not jax.config.jax_enable_x64)
-        else out_dtype.name
-    )
+    work = _decode_work_dtype(header, True)
     spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS))
     x = sh.decode_sharded(
         jax.device_put(ids2d, spec),

@@ -59,9 +59,14 @@ class CodecConfig:
         default: +12%% throughput over 4 MiB on a 4-core host at <0.2%%
         ratio cost — finer chunks balance the thread pool).
       internal_dtype: "auto" runs the transform in the input dtype (float64
-        needs jax x64 enabled); "float32" forces the fast single-precision
-        device path regardless of input dtype (bound semantics then include a
-        ~1e-6-relative transform error term, see docs/numerics.md).
+        needs jax x64 enabled) — EXCEPT on TPU-like backends, where float64
+        is software-emulated: there, v2 containers with truncate=True and
+        error_bound >= 1e-5 promote float64 input to the fast f32 pipeline
+        (the streams are float32 under truncate anyway; the added
+        transform-rounding term is ~1e-6 absolute in the scaled domain —
+        budget in docs/numerics.md; v1 containers are exempt for reference
+        byte parity). "float32" forces the single-precision device path
+        regardless of input dtype, backend, bound, or container.
       float_codec: coding of the DC/AC float streams in v2 containers.
         "plane" (default) splits the shuffled stream into byte planes and
         codes each by its cheapest method (raw for the near-random low

@@ -582,11 +582,20 @@ def _dpk_sections(
         exc_sec = entropy.chunked_deflate(
             exc_tight.tobytes(), cfg.chunk_bytes, min(lvl, 3)
         )
+    # width/meta: mostly-noisy small ints where deflate level buys almost
+    # nothing (bench meta: 4 KB at level 6 vs 5 KB at level 1 from 262 KB)
+    # but level 6 costs ~15 ms per 256 KB of counts; large streams take
+    # level 1, small ones keep lvl (fixtures stay byte-stable)
+    def _side_lvl(nbytes: int) -> int:
+        return min(lvl, 1) if nbytes >= (1 << 17) else lvl
+
     return (
-        entropy.chunked_deflate(width.tobytes(), cfg.chunk_bytes, lvl),
+        entropy.chunked_deflate(
+            width.tobytes(), cfg.chunk_bytes, _side_lvl(width.nbytes)
+        ),
         packed_sec,
         exc_sec,
-        entropy.chunked_deflate(meta, cfg.chunk_bytes, lvl),
+        entropy.chunked_deflate(meta, cfg.chunk_bytes, _side_lvl(len(meta))),
     )
 
 

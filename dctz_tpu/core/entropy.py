@@ -200,23 +200,46 @@ def pad_row_prefixes(tight, lens, cap: int, dtype) -> "np.ndarray":
 # a memcpy, and only ~half the bytes ever see deflate.
 #
 # Self-describing section layout (first chunk = directory):
-#   u8 itemsize | u8 method[itemsize] (0=raw, 1=deflate) |
+#   u8 itemsize | u8 method[itemsize] (0=raw, 1=deflate, 2=rans) |
 #   u32 plane_nbytes | u16 chunks_per_plane[itemsize]
 # followed by each plane's chunks in order. Misaligned streams degrade to a
 # single raw plane of the unshuffled bytes.
+#
+# Method 2 (native static rANS) is chosen for large planes whose sampled
+# rANS size is within 5% of sampled deflate: on the bench AC planes the
+# ratio is equal and rANS runs ~5x faster both ways (measured: exponent
+# plane 65 KB either way, 0.7 ms vs 2.7 ms). DC-style planes with LZ
+# structure (runs of repeated exponents) keep deflate — order-0 coding
+# loses 3x ratio there (measured 475 KB vs 159 KB) and the probe sees it.
+# Gated at >= 64 KiB so the per-plane frequency table amortizes and small
+# legacy fixtures stay byte-identical.
 # ---------------------------------------------------------------------------
 
 _PLC_SAMPLE = 1 << 16
 _PLC_MIN_GAIN = 0.03
+_PLC_RANS_MIN = 1 << 16
+_PLC_RANS_SLACK = 1.05
 
 
-def _plc_deflate_worthwhile(plane: memoryview, level: int) -> bool:
+def _plc_method(plane: memoryview, level: int) -> int:
     """Sample-based method choice: deflate a 64 KiB sample at level 1 and
-    require >= 3% gain (cheap: ~0.3 ms; wrong only costs <= 3% of one plane)."""
+    require >= 3% gain (cheap: ~0.3 ms; wrong only costs <= 3% of one
+    plane); for large planes, prefer rANS when its sampled size is within
+    5% of deflate's (see module comment)."""
     sample = bytes(plane[:_PLC_SAMPLE])
     if not sample:
-        return False
-    return len(deflate(sample, 1)) < len(sample) * (1.0 - _PLC_MIN_GAIN)
+        return 0
+    dlen = len(deflate(sample, 1))
+    if dlen >= len(sample) * (1.0 - _PLC_MIN_GAIN):
+        return 0
+    if len(plane) >= _PLC_RANS_MIN:
+        from .. import native
+
+        if native.available():
+            rlen = len(native.rans_compress(sample))
+            if rlen <= dlen * _PLC_RANS_SLACK:
+                return 2
+    return 1
 
 
 def encode_float_stream(
@@ -235,10 +258,19 @@ def encode_float_stream(
     methods = bytearray(itemsize)
     chunk_bytes = min(chunk_bytes, 1 << 18)  # finer chunks balance the pool
     for i, plane in enumerate(planes):
-        methods[i] = 1 if _plc_deflate_worthwhile(plane, level) else 0
+        methods[i] = _plc_method(plane, level)
+
+    def _code(i: int, p: memoryview) -> list[bytes]:
+        if methods[i] == 2:
+            from .. import native
+
+            return [native.rans_compress(bytes(p))]
+        if methods[i] == 1:
+            return chunked_deflate(p, chunk_bytes, level)
+        return [bytes(p)]
+
     out_planes: list[list[bytes]] = [
-        chunked_deflate(p, chunk_bytes, level) if methods[i] else [bytes(p)]
-        for i, p in enumerate(planes)
+        _code(i, p) for i, p in enumerate(planes)
     ]
     directory = struct.pack("<B", itemsize) + bytes(methods)
     directory += struct.pack("<I", items)
@@ -267,6 +299,10 @@ def decode_float_stream(chunks: list[bytes]) -> bytes:
         off += counts[i]
         if methods[i] == 0:
             plane = b"".join(sub)
+        elif methods[i] == 2:
+            from .. import native
+
+            plane = native.rans_decompress(b"".join(sub))
         else:
             plane = chunked_inflate(sub)
         if len(plane) != items:

@@ -57,16 +57,28 @@ TPT = 4  # tiles per grid step (amortizes per-step overhead; higher values
 _HI = jax.lax.Precision.HIGHEST
 _WIDTHS = (1, 2, 3, 4)
 
-# Test hooks: _FORCE overrides the platform gate; _INTERPRET runs the kernel
-# in Pallas interpret mode (CPU). Production TPU paths never touch these.
+# Test hooks: _FORCE overrides the gate entirely; _INTERPRET runs the
+# kernel in Pallas interpret mode (CPU).
 _FORCE: bool | None = None
 _INTERPRET: bool = False
 
+# Measured on the real chip (32Mi climate f32, amortized 8-chained
+# iterations): this kernel decodes 128 MB in ~144 ms vs ~33 ms for the XLA
+# chain it was meant to replace (idpack.unpack_ids + quantize.decode +
+# transform.inverse) — the hand scheduling loses to XLA's fusion of the
+# same one-hot contractions at this geometry. Default OFF until a
+# multi-tile/layout rework beats the chain; the kernel stays correct
+# (interpret-mode stream-equality tests) and opt-in via _FORCE = True.
+_DEFAULT_ON = False
+
 
 def enabled() -> bool:
-    """Platform gate — the Mosaic kernel only exists for TPU-like backends."""
+    """Dispatch gate: _FORCE override, else the measured default (see
+    _DEFAULT_ON note) on TPU-like backends only."""
     if _FORCE is not None:
         return _FORCE
+    if not _DEFAULT_ON:
+        return False
     try:
         plat = jax.devices()[0].platform
     except RuntimeError:

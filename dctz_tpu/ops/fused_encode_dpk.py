@@ -63,16 +63,28 @@ LO, HI_N = 16, CAP // 16
 _HP = jax.lax.Precision.HIGHEST
 _INF = 1 << 30
 
-# Test hooks, mirroring ops/fused_decode.py: _FORCE overrides the platform
-# gate; _INTERPRET runs the kernel in Pallas interpret mode (CPU).
+# Test hooks, mirroring ops/fused_decode.py: _FORCE overrides the gate
+# entirely; _INTERPRET runs the kernel in Pallas interpret mode (CPU).
 _FORCE: bool | None = None
 _INTERPRET: bool = False
 
+# Measured on the real chip (32Mi climate f32, amortized 8-chained
+# iterations): 128 MB encodes in ~115 ms here vs ~32 ms for the
+# three-program XLA chain (fused_encode_pipeline + compact + pack_ids) —
+# the per-tile grid (2048 steps) and the scatter/pack matmul chains lose
+# to XLA's fusion despite the lower HBM traffic. Default OFF until a
+# rework beats the chain; correctness stays pinned by the interpret-mode
+# stream-equality tests and the kernel is opt-in via _FORCE = True.
+_DEFAULT_ON = False
+
 
 def enabled() -> bool:
-    """Platform gate — the Mosaic kernel only exists for TPU-like backends."""
+    """Dispatch gate: _FORCE override, else the measured default (see
+    _DEFAULT_ON note) on TPU-like backends only."""
     if _FORCE is not None:
         return _FORCE
+    if not _DEFAULT_ON:
+        return False
     try:
         plat = jax.devices()[0].platform
     except RuntimeError:

@@ -45,6 +45,33 @@ def test_plc_method_selection_float32():
     assert sum(map(len, chunks)) <= legacy * 1.02
 
 
+def test_plc_rans_method_on_large_entropy_plane():
+    """A large plane whose deflate gain is pure entropy (no LZ structure)
+    must pick method 2 (native rANS) and round-trip; DC-like planes with
+    run structure must stay on deflate."""
+    from dctz_tpu import native
+
+    if not native.available():
+        pytest.skip("native rANS codec not built")
+    rng = np.random.default_rng(5)
+    n = 1 << 18
+    # two-plane u16 items: plane 0 = skewed entropy bytes (rans territory),
+    # plane 1 = long runs (deflate territory)
+    skewed = rng.choice(
+        np.arange(64, dtype=np.uint8), size=n, p=np.ones(64) / 64
+    )
+    runs = np.repeat(
+        rng.integers(0, 4, n // 512, dtype=np.uint8), 512
+    )
+    raw = (
+        skewed.astype(np.uint16) | (runs.astype(np.uint16) << 8)
+    ).tobytes()
+    chunks = _roundtrip(raw, 2)
+    methods = list(chunks[0][1:3])
+    assert methods[0] == 2, methods
+    assert methods[1] == 1, methods
+
+
 def test_plc_misaligned_degrades_to_single_plane():
     raw = b"x" * 1001  # not a multiple of 4
     chunks = entropy.encode_float_stream(raw, 4, 1 << 20, 6)

@@ -80,6 +80,39 @@ def test_scaling_inside_kernel():
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
+def test_api_dispatch_matches_chain_container():
+    """The _compress_fused mega-kernel branch (default-off; _FORCE opt-in)
+    must produce a byte-identical container to the unfused chain."""
+    import dctz_tpu
+    from dctz_tpu.config import CodecConfig
+    from dctz_tpu.ops import compaction as cp
+
+    n = 1024 * 64
+    x = _signals(n)["spiky"]
+    cfg = CodecConfig(error_bound=1e-3, container="v2", ids_codec="device")
+
+    orig_ucc = cp.use_chunked_compaction
+    orig_pipe = fe.fused_encode_pipeline
+    try:
+        cp.use_chunked_compaction = lambda: True
+        fe.fused_encode_pipeline = lambda *a: orig_pipe(*a[:4], True)
+        blob_chain = dctz_tpu.compress(x, config=cfg)
+        fed._FORCE = True
+        fed._INTERPRET = True
+        blob_mega = dctz_tpu.compress(x, config=cfg)
+    finally:
+        fed._FORCE = None
+        fed._INTERPRET = False
+        cp.use_chunked_compaction = orig_ucc
+        fe.fused_encode_pipeline = orig_pipe
+    assert blob_mega == blob_chain
+    # spiky data is the documented pointwise-bound worst case without
+    # cfg.verify (coefficient-domain guarantee only) — assert the round
+    # trip reconstructs, not the pointwise bound
+    y = dctz_tpu.decompress(blob_mega)
+    assert y.shape == x.shape and np.isfinite(y).all()
+
+
 def test_overflow_drops_but_counts_tell():
     """Chunks past capacity must not corrupt neighbors: counts > CAP flag
     the caller's retry, stored slots still match the unfused chain's

@@ -723,7 +723,7 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             # attribute async h2d time here, not to the device stage
             for a in dev:
                 float(a.ravel()[0])
-    with timer.stage("device"):
+    with timer.stage("device"), _f32_device_trace(work):
         x = _decode_device_dpk(
             *dev,
             n_stream,
@@ -805,8 +805,9 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
         if qtable is not None
         else None
     )
-    x = sh.decode_sharded_dpk(
-        jax.device_put(width, spec),
+    with _f32_device_trace(work):
+        x = sh.decode_sharded_dpk(
+            jax.device_put(width, spec),
         jax.device_put(rows, spec),
         jax.device_put(exc_rows, spec),
         jax.device_put(dc, spec),
@@ -904,6 +905,26 @@ def _f64_fast_eligible(cfg: CodecConfig) -> bool:
     )
 
 
+def _f32_device_trace(work_dtype):
+    """Trace f32 device programs exactly as in the x64-off default.
+
+    With x64 enabled (the f64 CLI/library path) weak-typed Python scalars
+    trace as 64-bit inside the jitted programs; Mosaic lowering of the
+    fused Pallas kernels then dies in convert-type recursion (measured:
+    RecursionError in _convert_helper on the -d CLI path), and the XLA
+    chain pays emulated-i64 ops. Scoped to TPU-like backends so CPU
+    tests/goldens keep their existing x64 traces byte-for-byte."""
+    import contextlib
+
+    if (
+        jnp.dtype(work_dtype) == jnp.float32
+        and jax.config.jax_enable_x64
+        and _tpu_like_backend()
+    ):
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def _decode_work_dtype(header: ct.Header, is_v2: bool) -> str:
     """Device compute dtype for decode. f64 containers decode in f32 when
     x64 is unavailable, and also — v2 + truncate + eb >= F64_FAST_EB_MIN on
@@ -988,10 +1009,11 @@ def compress(
         raise ValueError("cannot compress an empty array")
 
     if _fused_eligible(cfg, arr, n):
-        return _compress_fused(arr, n, cfg, src_dtype, timer)
+        with _f32_device_trace(arr.dtype):
+            return _compress_fused(arr, n, cfg, src_dtype, timer)
 
     dpk = cfg.container == "v2" and cfg.ids_codec == "device"
-    with timer.stage("device"):
+    with timer.stage("device"), _f32_device_trace(arr.dtype):
         dcfg = _device_cfg(cfg)
         q, stats = _encode_device(arr, n, dcfg, None)
         if q.overflowed is not None and bool(jax.device_get(q.overflowed)):
@@ -1199,7 +1221,7 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
             # attribute async h2d time here, not to the device stage
             for a in (ids_d, dc_d, ac_d):
                 float(a.ravel()[0])
-    with timer.stage("device"):
+    with timer.stage("device"), _f32_device_trace(work_dtype):
         x = _decode_device(
             ids_d,
             dc_d,
@@ -1268,7 +1290,8 @@ def compress_sharded(
     layout = "chunked" if cp.use_chunked_compaction() else "global"
 
     def run(ac_capacity, cape=None):
-        return sh.encode_sharded(
+        with _f32_device_trace(arr.dtype):
+            return sh.encode_sharded(
             x_sharded,
             n_real=n,
             cfg=_device_cfg(cfg),
@@ -1432,8 +1455,9 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
     out_dtype = header.dtype
     work = _decode_work_dtype(header, True)
     spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS))
-    x = sh.decode_sharded(
-        jax.device_put(ids2d, spec),
+    with _f32_device_trace(work):
+        x = sh.decode_sharded(
+            jax.device_put(ids2d, spec),
         jax.device_put(dc, spec),
         jax.device_put(ac_shards, spec),
         jnp.asarray(header.scaling_factor, jnp.dtype(work)),

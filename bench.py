@@ -123,23 +123,28 @@ def measure_rtt_ms() -> float:
 AMORT_K = 8
 
 
-def _amortized_s(call) -> float:
-    """Best-of-3 per-iteration seconds of `call(eps)->f32 scalar`, K chained
-    executions inside one jit (data dependence via eps prevents overlap and
-    dead-code elimination), one sync per timing."""
+def _amortized_s(call, *operands) -> float:
+    """Best-of-3 per-iteration seconds of `call(eps, *operands)->f32 scalar`,
+    K chained executions inside one jit (data dependence via eps prevents
+    overlap and dead-code elimination), one sync per timing.
+
+    Operands MUST be passed here, not closed over: a concrete array captured
+    by the traced function becomes an HLO constant, and on the remote-compile
+    tunnel that ships the whole buffer with the compile request (512 MB
+    inputs exceed the server's request limit outright — HTTP 413)."""
 
     @jax.jit
-    def rep(z):
+    def rep(z, *ops):
         def body(i, acc):
-            return acc + call(acc * 1e-30) * 1e-30
+            return acc + call(acc * 1e-30, *ops) * 1e-30
 
         return jax.lax.fori_loop(0, AMORT_K, body, z)
 
-    _sync(rep(jnp.float32(0)))  # compile
+    _sync(rep(jnp.float32(0), *operands))  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync(rep(jnp.float32(0)))
+        _sync(rep(jnp.float32(0), *operands))
         best = min(best, time.perf_counter() - t0)
     return best / AMORT_K
 
@@ -164,7 +169,7 @@ def amortized_device_encode_s(x) -> float:
         and chunk_width(N, CFG.block_size) == fed.CW
     )
 
-    def call(eps):
+    def call(eps, x):
         arr = x + eps
         sf, mean = api._stats_device(arr, N, CFG.sf_adj)
         if mega:
@@ -195,7 +200,7 @@ def amortized_device_encode_s(x) -> float:
             + exc_ovf
         ).astype(jnp.float32)
 
-    return _amortized_s(call)
+    return _amortized_s(call, x)
 
 
 def amortized_device_decode_s(blob) -> float:
@@ -215,7 +220,7 @@ def amortized_device_decode_s(blob) -> float:
     sfv = jnp.asarray(header.scaling_factor, jnp.float32)
     dcfg = api._device_cfg(cfg_h)
 
-    def call(eps):
+    def call(eps, *dev):
         x = api._decode_device_dpk(
             dev[0],
             dev[1],
@@ -233,7 +238,7 @@ def amortized_device_decode_s(blob) -> float:
         )
         return x.ravel()[0].astype(jnp.float32)
 
-    return _amortized_s(call)
+    return _amortized_s(call, *dev)
 
 
 def bench_jax() -> dict:

@@ -564,6 +564,12 @@ def _dpk_sections(
         packed_sec = entropy.chunked_deflate(
             tight.tobytes(), cfg.chunk_bytes, 1
         )
+    elif cfg.dpk_host_codec == "rans" and native.available():
+        # the light ratio mode: order-0 rANS takes ~12% off the packed
+        # section at ~5x the deflate speed both ways (bench: 17 ms enc /
+        # 24 ms dec per 9 MB vs deflate-1's 83 ms for 18%)
+        header.dpkr = True
+        packed_sec = [native.rans_compress(tight.tobytes())]
     else:
         packed_sec = [tight.tobytes()]  # device-coded: stored verbatim
     if (
@@ -626,11 +632,14 @@ def _dpk_host_rebuild(header: ct.Header, streams):
         entropy.chunked_inflate(widths_z), np.uint8, rows_n
     ).reshape(t, bs)
     bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-    tight = (
-        entropy.chunked_inflate(packed_raw)
-        if header.dpkz
-        else b"".join(packed_raw)
-    )
+    if header.dpkz:
+        tight = entropy.chunked_inflate(packed_raw)
+    elif header.dpkr:
+        from . import native as _native
+
+        tight = _native.rans_decompress(b"".join(packed_raw))
+    else:
+        tight = b"".join(packed_raw)
     rows = entropy.pad_row_prefixes(tight, bpr, tile_b // 2, np.uint8)
     if header.rans:  # in DPK containers the rans flag covers the exceptions
         from . import native

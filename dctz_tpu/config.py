@@ -79,8 +79,10 @@ class CodecConfig:
         verbatim (maximum throughput: the host only concatenates);
         "deflate" runs chunk-parallel level-1 deflate over them — measured
         ~2x smaller packed section on smooth data (repetitive tiles) at
-        ~7 ms/MB of packed bytes on this host. Decode inflates before the
-        device unpack either way.
+        ~7 ms/MB of packed bytes on this host; "rans" is the light ratio
+        mode — ~12% off the packed section at ~5x deflate's speed both
+        ways (native codec required; falls back to "none" if unbuilt).
+        Decode reverses the chosen codec before the device unpack.
       verify: device-side verify-and-repair (ops/repair.py): reconstruct the
         array inside the encode program exactly as the decoder will, and
         force-escape the coefficients of any block whose pointwise error
@@ -106,7 +108,7 @@ class CodecConfig:
     ids4: bool = True
     ids_codec: Literal["auto", "deflate", "rans", "device"] = "auto"
     float_codec: Literal["plane", "deflate"] = "plane"
-    dpk_host_codec: Literal["none", "deflate"] = "none"
+    dpk_host_codec: Literal["none", "deflate", "rans"] = "none"
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
     verify: bool = False

@@ -76,6 +76,7 @@ class Header:
     rans: bool = False  # v2: ids sections rANS-coded (native codec)
     dpk: bool = False  # v2: bin-index stream device-packed (ops/idpack.py)
     dpkz: bool = False  # v2: DPK packed section host-deflated (ratio mode)
+    dpkr: bool = False  # v2: DPK packed section host-rANS-coded (fast ratio mode)
     plc: bool = False  # v2: DC/AC sections per-plane coded (entropy.encode_float_stream)
 
     @property
@@ -207,6 +208,8 @@ _FLAG_RANS = 1 << 5  # ids sections use the native rANS codec, not deflate
 _FLAG_DPK = 1 << 6
 # the DPK packed section additionally deflated on the host (ratio mode)
 _FLAG_DPKZ = 1 << 7
+# ... or rANS-coded on the host (the faster, lighter ratio mode)
+_FLAG_DPKR = 1 << 9
 # DC/AC sections use the per-plane float codec (entropy.encode_float_stream):
 # each byte plane of the shuffled stream carries its own method (raw planes
 # skip deflate entirely — the low mantissa planes are near-random)
@@ -245,6 +248,8 @@ def pack_v2(
             raise ValueError("dpk container needs 6 stream sections")
     if header.dpkz:
         flags |= _FLAG_DPKZ
+    if header.dpkr:
+        flags |= _FLAG_DPKR
     if header.plc:
         flags |= _FLAG_PLC
     fixed = struct.pack(
@@ -371,6 +376,7 @@ def parse_v2(
         rans=bool(flags & _FLAG_RANS),
         dpk=dpk,
         dpkz=bool(flags & _FLAG_DPKZ),
+        dpkr=bool(flags & _FLAG_DPKR),
         plc=bool(flags & _FLAG_PLC),
     )
     return header, tuple(streams), qtable, chunk_bytes

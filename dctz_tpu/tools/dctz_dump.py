@@ -29,6 +29,7 @@ def dump(path: str) -> dict:
             "rans": hdr.rans,
             "dpk": hdr.dpk,
             "dpkz": hdr.dpkz,
+            "dpkr": hdr.dpkr,
             "plc": hdr.plc,
         },
         "datatype": hdr.dtype.name,

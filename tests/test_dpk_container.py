@@ -121,6 +121,26 @@ def test_dpk_host_codec_ratio_mode():
     )
 
 
+def test_dpk_host_codec_rans_mode():
+    """dpk_host_codec="rans" (light ratio mode): smaller container than
+    verbatim, identical reconstruction, dpkr flag set."""
+    from dctz_tpu import native
+
+    if not native.available():
+        pytest.skip("native rANS codec not built")
+    x = _signal(400_000, np.float32, seed=17)
+    fast = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    small = dctz_tpu.compress(
+        x, config=_cfg(error_bound=1e-3, dpk_host_codec="rans")
+    )
+    header, *_ = ct.parse_v2(small)
+    assert header.dpkr and not header.dpkz
+    assert len(small) < len(fast)
+    np.testing.assert_array_equal(
+        dctz_tpu.decompress(small), dctz_tpu.decompress(fast)
+    )
+
+
 def test_dpk_sharded_matches_single_chip():
     """Per-shard device packing must produce a container that decodes to
     the identical reconstruction (tile-major outputs concatenate into the

@@ -255,7 +255,7 @@ def pack_v2(
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
-        2,  # version 2 = per-chunk crc32 tables
+        3,  # version 2 = per-chunk crc32 tables; 3 = + header/table crc
         flags,
         header.num_elements,
         header.error_bound,
@@ -278,6 +278,12 @@ def pack_v2(
                 f"<{len(chunks)}I", *[zlib.crc32(c) & 0xFFFFFFFF for c in chunks]
             )
         )
+    # version 3: crc over the fixed header + chunk tables — a flipped
+    # metadata byte (sf, eb, flags, a chunk size) fails loudly instead of
+    # silently decoding garbage (payload chunks carry their own crcs)
+    parts.append(
+        struct.pack("<I", zlib.crc32(b"".join(parts)) & 0xFFFFFFFF)
+    )
     for chunks in streams_z:
         parts.extend(chunks)
     if header.mode == "qt":
@@ -308,7 +314,7 @@ def parse_v2(
     ) = struct.unpack_from(_V2_FIXED_FMT, blob, 0)
     if magic != V2_MAGIC:
         raise ValueError("not a v2 container")
-    if version not in (1, 2):
+    if version not in (1, 2, 3):
         raise ValueError(f"unsupported v2 container version {version}")
     dtype = np.dtype(np.float64 if flags & _FLAG_F64 else np.float32)
     mode = "qt" if flags & _FLAG_QT else "ec"
@@ -333,6 +339,13 @@ def parse_v2(
         if version >= 2:
             crcs.append(list(struct.unpack_from(f"<{count}I", blob, off)))
             off += 4 * count
+    if version >= 3:
+        (hdr_crc,) = struct.unpack_from("<I", blob, off)
+        if (zlib.crc32(bytes(blob[:off])) & 0xFFFFFFFF) != hdr_crc:
+            raise ValueError(
+                "corrupted container: header/table crc mismatch"
+            )
+        off += 4
     streams: list[list[bytes]] = []
     for si, sizes in enumerate(tables):
         chunks = []

@@ -54,6 +54,27 @@ def test_v2_chunk_crc_detects_corruption(blobs):
             ct.parse_v2(bytes(b))
 
 
+def test_v2_every_byte_flip_fails_loudly(blobs):
+    """Exhaustive single-byte corruption: flipping ANY byte of a v2
+    container must raise (format v3: the fixed header and chunk tables
+    carry their own crc; payload chunks carry per-chunk crcs) — with the
+    two inherently un-checkable exceptions: the magic (the file is then a
+    'v1' container -> garbage header -> still raises) and the version
+    byte."""
+    blob = bytes(blobs["v2"])
+    for pos in range(len(blob)):
+        b = bytearray(blob)
+        b[pos] ^= 0x5A
+        try:
+            y = dctz_tpu.decompress(bytes(b))
+        except Exception as e:
+            assert not isinstance(e, (SystemExit, MemoryError)), (pos, e)
+            continue
+        # survivors must be flips that leave the container semantically
+        # identical (there are none for XOR 0x5A) — reaching here is a bug
+        raise AssertionError(f"byte {pos} flip decoded silently")
+
+
 def test_v2_bad_version(blobs):
     blob = bytearray(blobs["v2"])
     blob[4] = 99  # version field

@@ -47,7 +47,20 @@ def test_sharded_streams_match_single_chip(mesh, mode):
     sharded = compress_sharded(x, config=cfg, mesh=mesh)
 
     def strip_mean(b):  # mean (v2 header bytes 32-40) differs by reduction
-        return b[:32] + b"\0" * 8 + b[40:]  # order; unused in reconstruction
+        # order; unused in reconstruction. Format v3 covers it with the
+        # header/table crc, so neutralize that field too (its offset is
+        # after the section tables).
+        import struct as _s
+
+        from dctz_tpu.core import container as ctn
+
+        flags = _s.unpack_from("<H", b, 6)[0]
+        ns = 6 if flags & ctn._FLAG_DPK else (4 if flags & ctn._FLAG_IDS4 else 3)
+        off = ctn._V2_FIXED_SIZE
+        for _ in range(ns):
+            (cnt,) = _s.unpack_from("<I", b, off)
+            off += 4 + 8 * cnt
+        return b[:32] + b"\0" * 8 + b[40:off] + b"\0\0\0\0" + b[off + 4 :]
 
     if mode == "ec":
         assert strip_mean(single) == strip_mean(sharded)

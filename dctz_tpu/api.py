@@ -383,9 +383,6 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             # reference quirk: slot 0 = DC of the last REAL block
             # (dctz-comp-lib.c:355-360); padding blocks don't count
             qtable[0] = dc[-(-n // cfg.block_size) - 1]
-    with timer.stage("zlib"):  # host assembly work, counted in the host stage
-        ac = entropy.take_row_prefixes(ac_chunks, counts)
-
     header = ct.Header(
         dtype=src_dtype,
         num_elements=n,
@@ -406,6 +403,23 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
 
         header.shuffle = cfg.shuffle
         with timer.stage("zlib"):
+            # the six sections are independent: DC and AC (including the AC
+            # row gather) code on the section pool while the four id
+            # sections code here — byte-identical output, assembly order is
+            # fixed at the gather below (docs/benchmarks.md: the sequential
+            # section chain left most of the host cores idle)
+            pool = entropy.section_pool()
+
+            def _ac_task():
+                ac = entropy.take_row_prefixes(ac_chunks, counts)
+                return _float_sections(
+                    ac.tobytes(), ac.dtype.itemsize, cfg, header
+                )
+
+            f_dc = pool.submit(
+                _float_sections, dc.tobytes(), dc.dtype.itemsize, cfg, header
+            )
+            f_ac = pool.submit(_ac_task)
             streams = _dpk_sections(
                 width,
                 packed_rows,
@@ -417,11 +431,10 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 n_pad,
                 cfg,
                 header,
-            ) + (
-                _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
-                _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
-            )
+            ) + (f_dc.result(), f_ac.result())
             return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
+    with timer.stage("zlib"):  # host assembly work, counted in the host stage
+        ac = entropy.take_row_prefixes(ac_chunks, counts)
     stream_len = n if cfg.container == "v1" else n_pad
     flat_ids = ids.reshape(-1)[:stream_len]
     with timer.stage("zlib"):
@@ -509,6 +522,7 @@ def _decode_float_section(header: ct.Header, chunks) -> bytes:
 
 _DPK_META_FMT = "<QHH2x"  # n_stream (padded elements), tile_b, AC chunk width
 _DPK_META_SIZE = struct.calcsize(_DPK_META_FMT)
+_VERBATIM_CHUNK = 1 << 22  # split stored-verbatim sections for parallel crc
 
 
 def _dpk_pack_device(bin_ids_dev: jax.Array, n: int):
@@ -539,55 +553,68 @@ def _dpk_sections(
     """Host assembly of the 4 DPK id sections: slice each fixed-capacity
     device row to its tight byte count (one threaded gather — the only host
     work proportional to the stream), code the small side streams, and set
-    the container flags on `header`."""
+    the container flags on `header`. The packed/exception/meta sections code
+    concurrently on the section pool (byte-identical; flags are decided
+    up front so no task mutates the header)."""
     from . import native
     from .ops import idpack
 
     header.dpk = True
     header.dpkz = cfg.dpk_host_codec == "deflate"
+    header.dpkr = cfg.dpk_host_codec == "rans" and native.available()
     width = np.asarray(width)
     packed_rows = np.asarray(packed_rows)
     exc_rows = np.asarray(exc_rows)
     exc_counts = np.asarray(exc_counts)
-    bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-    tight = entropy.take_row_prefixes(packed_rows, bpr)
-    exc_tight = entropy.take_row_prefixes(exc_rows, exc_counts)
-    meta = (
-        struct.pack(_DPK_META_FMT, n_stream, tile_b, cw)
-        + exc_counts.astype(np.uint16).tobytes()
-        + np.asarray(ac_counts, np.uint16).tobytes()
-    )
     lvl = cfg.ids_zlib_level or cfg.zlib_level
-    if cfg.dpk_host_codec == "deflate":
-        # optional ratio mode: the packed tiles of smooth data repeat, so a
-        # cheap level-1 pass still halves the dominant section (measured)
-        packed_sec = entropy.chunked_deflate(
-            tight.tobytes(), cfg.chunk_bytes, 1
-        )
-    elif cfg.dpk_host_codec == "rans" and native.available():
-        # the light ratio mode: order-0 rANS takes ~12% off the packed
-        # section at ~5x the deflate speed both ways (bench: 17 ms enc /
-        # 24 ms dec per 9 MB vs deflate-1's 83 ms for 18%)
-        header.dpkr = True
-        packed_sec = [native.rans_compress(tight.tobytes())]
-    else:
-        packed_sec = [tight.tobytes()]  # device-coded: stored verbatim
-    if (
+    # exception stream length is just sum(counts) — decide the codec flag
+    # before the tasks run: large exception streams default to the native
+    # rANS (~6x faster than deflate for ~8% of its size); below 256 KiB the
+    # per-chunk frequency tables don't amortize and deflate wins both ways.
+    # An explicit ids_zlib_level opts back into deflate at that level.
+    header.rans = (
         cfg.ids_zlib_level is None
-        and exc_tight.nbytes >= (1 << 18)
+        and int(exc_counts.sum()) >= (1 << 18)
         and native.available()
-    ):
-        # large exception streams default to the native rANS: ~6x faster
-        # than deflate for ~8% of ITS size; below 256 KiB the per-chunk
-        # frequency tables don't amortize and deflate wins both ways. An
-        # explicit ids_zlib_level opts back into deflate at that level.
-        header.rans = True
-        exc_sec = [native.rans_compress(exc_tight.tobytes())]
-    else:
+    )
+
+    def _packed_task():
+        bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
+        tight = entropy.take_row_prefixes(packed_rows, bpr)
+        if header.dpkz:
+            # optional ratio mode: the packed tiles of smooth data repeat,
+            # so a cheap level-1 pass still halves the dominant section
+            return entropy.chunked_deflate(
+                tight.tobytes(), cfg.chunk_bytes, 1
+            )
+        if header.dpkr:
+            # the light ratio mode: order-0 rANS takes ~12% off the packed
+            # section at ~5x the deflate speed both ways (bench: 17 ms enc /
+            # 24 ms dec per 9 MB vs deflate-1's 83 ms for 18%)
+            return [native.rans_compress(tight)]
+        # device-coded: stored verbatim (zero-copy memoryviews into the
+        # gathered array; pack_v2 joins/crcs buffers directly). Large
+        # sections split into 4 MiB chunks purely so the container crc32s
+        # parallelize (the decoder joins the chunks back — same bytes;
+        # small containers keep the single chunk, so committed fixtures
+        # are unchanged)
+        t_view = memoryview(tight)
+        if len(t_view) <= _VERBATIM_CHUNK:
+            return [t_view]
+        return [
+            t_view[i : i + _VERBATIM_CHUNK]
+            for i in range(0, len(t_view), _VERBATIM_CHUNK)
+        ]
+
+    def _exc_task():
+        exc_tight = entropy.take_row_prefixes(exc_rows, exc_counts)
+        if header.rans:
+            return [native.rans_compress(exc_tight)]
         # level 3: measured smaller AND faster than 6 on this stream
-        exc_sec = entropy.chunked_deflate(
-            exc_tight.tobytes(), cfg.chunk_bytes, min(lvl, 3)
+        return entropy.chunked_deflate(
+            memoryview(exc_tight), cfg.chunk_bytes, min(lvl, 3)
         )
+
     # width/meta: mostly-noisy small ints where deflate level buys almost
     # nothing (bench meta: 4 KB at level 6 vs 5 KB at level 1 from 262 KB)
     # but level 6 costs ~15 ms per 256 KB of counts; large streams take
@@ -595,14 +622,24 @@ def _dpk_sections(
     def _side_lvl(nbytes: int) -> int:
         return min(lvl, 1) if nbytes >= (1 << 17) else lvl
 
-    return (
-        entropy.chunked_deflate(
-            width.tobytes(), cfg.chunk_bytes, _side_lvl(width.nbytes)
-        ),
-        packed_sec,
-        exc_sec,
-        entropy.chunked_deflate(meta, cfg.chunk_bytes, _side_lvl(len(meta))),
+    def _meta_task():
+        meta = (
+            struct.pack(_DPK_META_FMT, n_stream, tile_b, cw)
+            + exc_counts.astype(np.uint16).tobytes()
+            + np.asarray(ac_counts, np.uint16).tobytes()
+        )
+        return entropy.chunked_deflate(
+            meta, cfg.chunk_bytes, _side_lvl(len(meta))
+        )
+
+    pool = entropy.section_pool()
+    f_packed = pool.submit(_packed_task)
+    f_exc = pool.submit(_exc_task)
+    f_meta = pool.submit(_meta_task)
+    width_sec = entropy.chunked_deflate(
+        width.tobytes(), cfg.chunk_bytes, _side_lvl(width.nbytes)
     )
+    return (width_sec, f_packed.result(), f_exc.result(), f_meta.result())
 
 
 def _dpk_host_rebuild(header: ct.Header, streams):
@@ -610,9 +647,32 @@ def _dpk_host_rebuild(header: ct.Header, streams):
     layouts into the fixed-capacity device inputs. Returns
     (width (T,bs), rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
     ac_counts, nblk)."""
+    from . import native
     from .ops import idpack
 
     widths_z, packed_raw, exc_z, meta_z, dz, az = streams
+    # the six sections decode independently — run them concurrently on the
+    # section pool (zlib/rANS release the GIL) and join at the row re-pads
+    pool = entropy.section_pool()
+
+    def _tight_task():
+        if header.dpkz:
+            return entropy.chunked_inflate(packed_raw)
+        if header.dpkr:
+            return native.rans_decompress(b"".join(packed_raw))
+        return b"".join(packed_raw)
+
+    def _exc_task():  # in DPK containers the rans flag covers the exceptions
+        if header.rans:
+            return native.rans_decompress(b"".join(exc_z))
+        return entropy.chunked_inflate(exc_z)
+
+    f_width = pool.submit(entropy.chunked_inflate, widths_z)
+    f_tight = pool.submit(_tight_task)
+    f_exc = pool.submit(_exc_task)
+    f_dc = pool.submit(_decode_float_section, header, dz)
+    f_ac = pool.submit(_decode_float_section, header, az)
+
     meta = entropy.chunked_inflate(meta_z)
     n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
     bs = header.block_size
@@ -628,26 +688,12 @@ def _dpk_host_rebuild(header: ct.Header, streams):
         meta, np.uint16, n_chunks, off + 2 * n_chunks
     ).astype(np.int64)
 
-    width = np.frombuffer(
-        entropy.chunked_inflate(widths_z), np.uint8, rows_n
-    ).reshape(t, bs)
+    width = np.frombuffer(f_width.result(), np.uint8, rows_n).reshape(t, bs)
     bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-    if header.dpkz:
-        tight = entropy.chunked_inflate(packed_raw)
-    elif header.dpkr:
-        from . import native as _native
-
-        tight = _native.rans_decompress(b"".join(packed_raw))
-    else:
-        tight = b"".join(packed_raw)
-    rows = entropy.pad_row_prefixes(tight, bpr, tile_b // 2, np.uint8)
-    if header.rans:  # in DPK containers the rans flag covers the exceptions
-        from . import native
-
-        exc_bytes = native.rans_decompress(b"".join(exc_z))
-    else:
-        exc_bytes = entropy.chunked_inflate(exc_z)
-    exc_tight = np.frombuffer(exc_bytes, np.uint8)
+    rows = entropy.pad_row_prefixes(
+        f_tight.result(), bpr, tile_b // 2, np.uint8
+    )
+    exc_tight = np.frombuffer(f_exc.result(), np.uint8)
     peak_e = int(exc_counts.max()) if exc_counts.size else 0
     cape = next(
         c
@@ -656,8 +702,8 @@ def _dpk_host_rebuild(header: ct.Header, streams):
     )
     exc_rows = entropy.pad_row_prefixes(exc_tight, exc_counts, cape, np.uint8)
 
-    dc_raw = _decode_float_section(header, dz)
-    ac_raw = _decode_float_section(header, az)
+    dc_raw = f_dc.result()
+    ac_raw = f_ac.result()
     return (
         width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
         ac_counts, nblk,
@@ -1157,7 +1203,8 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
         return _stream.decompress_stream_all(io.BytesIO(bytes(blob)))
     is_v2 = ct.detect_format(blob) == "v2"
     if is_v2:
-        header, streams, qtable, _cb = ct.parse_v2(blob)
+        with timer.stage("host"):  # chunk split + crc verify = host work
+            header, streams, qtable, _cb = ct.parse_v2(blob)
         if header.dpk:
             return _decompress_dpk(header, streams, qtable, timer)
         with timer.stage("host"):

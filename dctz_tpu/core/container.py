@@ -269,14 +269,14 @@ def pack_v2(
     )
     import zlib
 
+    from . import entropy
+
     parts = [fixed]
     for chunks in streams_z:
         parts.append(struct.pack("<I", len(chunks)))
         parts.append(struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks]))
         parts.append(
-            struct.pack(
-                f"<{len(chunks)}I", *[zlib.crc32(c) & 0xFFFFFFFF for c in chunks]
-            )
+            struct.pack(f"<{len(chunks)}I", *entropy.crc32_many(chunks))
         )
     # version 3: crc over the fixed header + chunk tables — a flipped
     # metadata byte (sf, eb, flags, a chunk size) fails loudly instead of
@@ -347,20 +347,31 @@ def parse_v2(
             )
         off += 4
     streams: list[list[bytes]] = []
+    flat: list[bytes] = []  # all chunks in order, for the parallel crc pass
     for si, sizes in enumerate(tables):
         chunks = []
-        for ci, sz in enumerate(sizes):
+        for sz in sizes:
             if off + sz > len(blob):
                 raise ValueError("truncated container: chunk past end")
-            c = bytes(blob[off : off + sz])
-            if version >= 2 and (zlib.crc32(c) & 0xFFFFFFFF) != crcs[si][ci]:
-                raise ValueError(
-                    f"corrupted container: crc mismatch in section {si} "
-                    f"chunk {ci}"
-                )
-            chunks.append(c)
+            chunks.append(bytes(blob[off : off + sz]))
             off += sz
+        flat.extend(chunks)
         streams.append(chunks)
+    if version >= 2:
+        from . import entropy
+
+        got = entropy.crc32_many(flat)
+        want = [c for sec in crcs for c in sec]
+        if got != want:
+            bad = next(i for i, (g, w) in enumerate(zip(got, want)) if g != w)
+            si = 0
+            while bad >= len(tables[si]):
+                bad -= len(tables[si])
+                si += 1
+            raise ValueError(
+                f"corrupted container: crc mismatch in section {si} "
+                f"chunk {bad}"
+            )
     qtable = None
     if mode == "qt":
         qtable_bytes = block_size * dtype.itemsize

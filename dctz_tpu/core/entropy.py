@@ -37,7 +37,44 @@ def _pool() -> concurrent.futures.ThreadPoolExecutor:
     return _POOL
 
 
+_SECTION_POOL: concurrent.futures.ThreadPoolExecutor | None = None
+
+
+def section_pool() -> concurrent.futures.ThreadPoolExecutor:
+    """Executor for container-SECTION-level tasks (width/packed/exc/meta/DC/AC
+    coded concurrently). Deliberately separate from the chunk pool: section
+    tasks block on chunk futures, and sharing one bounded pool for both
+    levels can deadlock (every worker parked in a section task, none left
+    for the chunks it waits on). Section tasks themselves never submit to
+    this pool. The codecs (zlib, native rANS/filters) release the GIL, so
+    sections genuinely overlap; output bytes are unchanged because assembly
+    order is preserved at the gather points."""
+    global _SECTION_POOL
+    if _SECTION_POOL is None:
+        _SECTION_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="dctz-sect"
+        )
+    return _SECTION_POOL
+
+
 HUFFMAN_ONLY = zlib.Z_HUFFMAN_ONLY
+
+_CRC_PAR_MIN = 1 << 16  # below this, pool dispatch costs more than the crc
+
+
+def crc32_many(chunks: Sequence[bytes]) -> list[int]:
+    """crc32 of each chunk; large chunks hash on the pool (zlib.crc32
+    releases the GIL above 5 KiB, so the table crcs of a multi-MB container
+    cost one chunk's worth of wall time instead of the sum)."""
+    futs = {
+        i: _pool().submit(zlib.crc32, c)
+        for i, c in enumerate(chunks)
+        if len(c) >= _CRC_PAR_MIN
+    }
+    return [
+        (futs[i].result() if i in futs else zlib.crc32(c)) & 0xFFFFFFFF
+        for i, c in enumerate(chunks)
+    ]
 
 
 def deflate(
@@ -46,7 +83,8 @@ def deflate(
     """One zlib stream with reference-identical parameters (strategy 0 ==
     Z_DEFAULT_STRATEGY; HUFFMAN_ONLY for pre-packed low-entropy streams)."""
     co = zlib.compressobj(level, zlib.DEFLATED, _WBITS, _MEM_LEVEL, strategy)
-    return co.compress(bytes(data)) + co.flush()
+    # zlib accepts any 1-D contiguous buffer — no bytes() copy needed
+    return co.compress(data) + co.flush()
 
 
 def inflate(data: bytes | memoryview, expected_size: int | None = None) -> bytes:
@@ -226,8 +264,18 @@ def _plc_method(plane: memoryview, level: int) -> int:
     require >= 3% gain (cheap: ~0.3 ms; wrong only costs <= 3% of one
     plane); for large planes, prefer rANS when its sampled size is within
     5% of deflate's (see module comment)."""
+    import numpy as np
+
     sample = bytes(plane[:_PLC_SAMPLE])
     if not sample:
+        return 0
+    # order-0 entropy pre-filter: when the sample is within 0.6% of random
+    # (>= 7.95 bits/byte) huffman cannot reach the 3% gain bar and float
+    # mantissa planes carry no LZ structure — skip the ~1 ms deflate probe
+    # that would conclude "raw" anyway (measured: half the planes)
+    cnt = np.bincount(np.frombuffer(sample, np.uint8), minlength=256)
+    p = cnt[cnt > 0] / len(sample)
+    if float(-(p * np.log2(p)).sum()) >= 7.95:
         return 0
     dlen = len(deflate(sample, 1))
     if dlen >= len(sample) * (1.0 - _PLC_MIN_GAIN):

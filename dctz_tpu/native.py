@@ -244,10 +244,15 @@ def unpack_rows(tight: np.ndarray, lens: np.ndarray, cap: int) -> np.ndarray:
     return rows
 
 
-def rans_compress(data: bytes) -> bytes:
-    """Static order-0 byte rANS (threaded, ~480 MB/s) — see cpp/rans.cpp."""
+def rans_compress(data) -> bytes:
+    """Static order-0 byte rANS (threaded, ~700 MB/s) — see cpp/rans.cpp.
+
+    Accepts bytes/memoryview or a contiguous uint8 ndarray (zero-copy)."""
     lib = _load()
-    d = np.frombuffer(data, np.uint8)
+    if isinstance(data, np.ndarray):
+        d = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    else:
+        d = np.frombuffer(data, np.uint8)
     cap = lib.dctz_rans_bound(d.size)
     out = np.empty(cap, np.uint8)
     sz = lib.dctz_rans_compress(

@@ -50,9 +50,15 @@ def _device_cfg(cfg: CodecConfig) -> CodecConfig:
         ids4=True,
         ids_codec="auto",
         dpk_host_codec="none",
+        host_codec="auto",
         chunk_bytes=1 << 22,
         internal_dtype="auto",
     )
+
+
+def _zstd_on(cfg: CodecConfig) -> bool:
+    """True when the v2 host stage should use the zstd backend."""
+    return cfg.host_codec == "auto" and entropy.zstd_available()
 
 
 def _padded(n: int, cfg: CodecConfig) -> int:
@@ -467,27 +473,31 @@ def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
     packed, exc = entropy.pack_ids4(ids_bytes)
     from . import native
 
+    # exceptions: their long escape-runs (255s) favor LZ matches over
+    # order-0 coding — chunk-zstd when available (2-4x faster than deflate
+    # at the same size), else deflate level 1 (~2x faster than 5 for +0.2%
+    # of total size; an explicit ids_zlib_level overrides).
+    header.zst = cfg.ids_zlib_level is None and _zstd_on(cfg)
+    exc_sec = (
+        entropy.chunked_zstd(exc, cfg.chunk_bytes, 1)
+        if header.zst
+        else entropy.chunked_deflate(
+            exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1
+        )
+    )
     if cfg.ids_codec == "rans" or (
         cfg.ids_codec == "auto" and native.available()
     ):
         # native static rANS on the packed nibbles (~480 MB/s at better
-        # ratio than zlib-huffman); exceptions keep deflate — their long
-        # escape-runs (255s) favor LZ matches over order-0 coding
+        # ratio than zlib-huffman, which LZ does not improve on)
         header.rans = True
-        return (
-            [native.rans_compress(packed)],
-            entropy.chunked_deflate(
-                exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1
-            ),
-        )
-    # packed nibbles: LZ matches add nothing beyond huffman (measured);
-    # exceptions: level 1 is ~2x faster than 5 for +0.2% of total size.
-    # An explicit ids_zlib_level overrides the exception-stream level.
+        return ([native.rans_compress(packed)], exc_sec)
+    # packed nibbles: LZ matches add nothing beyond huffman (measured)
     return (
         entropy.chunked_deflate(
             packed, cfg.chunk_bytes, 1, entropy.HUFFMAN_ONLY
         ),
-        entropy.chunked_deflate(exc, cfg.chunk_bytes, cfg.ids_zlib_level or 1),
+        exc_sec,
     )
 
 
@@ -501,7 +511,11 @@ def _float_sections(
     if cfg.float_codec == "plane":
         header.plc = True
         return entropy.encode_float_stream(
-            raw, isz if cfg.shuffle else 1, cfg.chunk_bytes, cfg.zlib_level
+            raw,
+            isz if cfg.shuffle else 1,
+            cfg.chunk_bytes,
+            cfg.zlib_level,
+            use_zlib=not _zstd_on(cfg),
         )
     if cfg.shuffle:
         raw = entropy.shuffle_bytes(raw, isz)
@@ -560,6 +574,8 @@ def _dpk_sections(
     from .ops import idpack
 
     header.dpk = True
+    zs = _zstd_on(cfg)
+    header.dpks = cfg.dpk_host_codec == "zstd" and entropy.zstd_available()
     header.dpkz = cfg.dpk_host_codec == "deflate"
     header.dpkr = cfg.dpk_host_codec == "rans" and native.available()
     width = np.asarray(width)
@@ -567,13 +583,17 @@ def _dpk_sections(
     exc_rows = np.asarray(exc_rows)
     exc_counts = np.asarray(exc_counts)
     lvl = cfg.ids_zlib_level or cfg.zlib_level
-    # exception stream length is just sum(counts) — decide the codec flag
-    # before the tasks run: large exception streams default to the native
-    # rANS (~6x faster than deflate for ~8% of its size); below 256 KiB the
-    # per-chunk frequency tables don't amortize and deflate wins both ways.
-    # An explicit ids_zlib_level opts back into deflate at that level.
+    # side-section codec flags, decided before the tasks run. zstd (when
+    # available) covers width/meta/exceptions at every size — measured
+    # faster than rANS AND deflate at equal-or-better ratio. The zlib
+    # fallback keeps the old policy: large exception streams take the
+    # native rANS (~6x faster than deflate for ~8% of its size); below
+    # 256 KiB the per-chunk frequency tables don't amortize and deflate
+    # wins both ways. An explicit ids_zlib_level opts into deflate.
+    header.zst = cfg.ids_zlib_level is None and zs
     header.rans = (
-        cfg.ids_zlib_level is None
+        not header.zst
+        and cfg.ids_zlib_level is None
         and int(exc_counts.sum()) >= (1 << 18)
         and native.available()
     )
@@ -581,6 +601,12 @@ def _dpk_sections(
     def _packed_task():
         bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
         tight = entropy.take_row_prefixes(packed_rows, bpr)
+        if header.dpks:
+            # the zstd ratio mode: chunk-parallel zstd-1 takes ~20% off
+            # the (already device-coded) packed section at ~0.8 ms/MB
+            # each way — strictly dominating dpkz/dpkr on every measured
+            # stream (docs/benchmarks.md)
+            return entropy.chunked_zstd(tight.tobytes(), cfg.chunk_bytes, 1)
         if header.dpkz:
             # optional ratio mode: the packed tiles of smooth data repeat,
             # so a cheap level-1 pass still halves the dominant section
@@ -608,6 +634,10 @@ def _dpk_sections(
 
     def _exc_task():
         exc_tight = entropy.take_row_prefixes(exc_rows, exc_counts)
+        if header.zst:
+            return entropy.chunked_zstd(
+                memoryview(exc_tight), cfg.chunk_bytes, 1
+            )
         if header.rans:
             return [native.rans_compress(exc_tight)]
         # level 3: measured smaller AND faster than 6 on this stream
@@ -615,12 +645,18 @@ def _dpk_sections(
             memoryview(exc_tight), cfg.chunk_bytes, min(lvl, 3)
         )
 
-    # width/meta: mostly-noisy small ints where deflate level buys almost
-    # nothing (bench meta: 4 KB at level 6 vs 5 KB at level 1 from 262 KB)
-    # but level 6 costs ~15 ms per 256 KB of counts; large streams take
-    # level 1, small ones keep lvl (fixtures stay byte-stable)
-    def _side_lvl(nbytes: int) -> int:
-        return min(lvl, 1) if nbytes >= (1 << 17) else lvl
+    # width/meta: mostly-noisy small ints. zstd-1 is both smaller and
+    # faster than any deflate level here (width: 4.6 KB / 0.2 ms vs
+    # deflate-1's 8.4 KB / 0.5 ms per 131 KB). zlib fallback: deflate
+    # level buys almost nothing (bench meta: 4 KB at level 6 vs 5 KB at
+    # level 1 from 262 KB) but level 6 costs ~15 ms per 256 KB of counts;
+    # large streams take level 1, small ones keep lvl (fixtures stay
+    # byte-stable)
+    def _side_sec(data) -> list[bytes]:
+        if header.zst:
+            return entropy.chunked_zstd(data, cfg.chunk_bytes, 1)
+        sl = min(lvl, 1) if len(data) >= (1 << 17) else lvl
+        return entropy.chunked_deflate(data, cfg.chunk_bytes, sl)
 
     def _meta_task():
         meta = (
@@ -628,17 +664,13 @@ def _dpk_sections(
             + exc_counts.astype(np.uint16).tobytes()
             + np.asarray(ac_counts, np.uint16).tobytes()
         )
-        return entropy.chunked_deflate(
-            meta, cfg.chunk_bytes, _side_lvl(len(meta))
-        )
+        return _side_sec(meta)
 
     pool = entropy.section_pool()
     f_packed = pool.submit(_packed_task)
     f_exc = pool.submit(_exc_task)
     f_meta = pool.submit(_meta_task)
-    width_sec = entropy.chunked_deflate(
-        width.tobytes(), cfg.chunk_bytes, _side_lvl(width.nbytes)
-    )
+    width_sec = _side_sec(width.tobytes())
     return (width_sec, f_packed.result(), f_exc.result(), f_meta.result())
 
 
@@ -655,25 +687,31 @@ def _dpk_host_rebuild(header: ct.Header, streams):
     # section pool (zlib/rANS release the GIL) and join at the row re-pads
     pool = entropy.section_pool()
 
+    _side = entropy.chunked_unzstd if header.zst else entropy.chunked_inflate
+
     def _tight_task():
+        if header.dpks:
+            return entropy.chunked_unzstd(packed_raw)
         if header.dpkz:
             return entropy.chunked_inflate(packed_raw)
         if header.dpkr:
             return native.rans_decompress(b"".join(packed_raw))
         return b"".join(packed_raw)
 
-    def _exc_task():  # in DPK containers the rans flag covers the exceptions
+    def _exc_task():  # zst/rans flags cover the exceptions in DPK containers
+        if header.zst:
+            return entropy.chunked_unzstd(exc_z)
         if header.rans:
             return native.rans_decompress(b"".join(exc_z))
         return entropy.chunked_inflate(exc_z)
 
-    f_width = pool.submit(entropy.chunked_inflate, widths_z)
+    f_width = pool.submit(_side, widths_z)
     f_tight = pool.submit(_tight_task)
     f_exc = pool.submit(_exc_task)
     f_dc = pool.submit(_decode_float_section, header, dz)
     f_ac = pool.submit(_decode_float_section, header, az)
 
-    meta = entropy.chunked_inflate(meta_z)
+    meta = _side(meta_z)
     n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
     bs = header.block_size
     nblk = -(-n_stream // bs)  # n_stream = true length on the XLA path
@@ -888,7 +926,11 @@ def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes
             packed = native.rans_decompress(b"".join(packed_z))
         else:
             packed = entropy.chunked_inflate(packed_z)
-        exc = entropy.chunked_inflate(exc_z)
+        exc = (
+            entropy.chunked_unzstd(exc_z)
+            if header.zst
+            else entropy.chunked_inflate(exc_z)
+        )
         # the original stream length is self-describing: exceptions hold one
         # byte per 15-nibble plus the odd tail byte (if any)
         p = np.frombuffer(packed, np.uint8)

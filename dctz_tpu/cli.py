@@ -55,6 +55,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="bin-index stream coder (v2 only): device = DPK, coded on-chip",
     )
     p.add_argument(
+        "--dpk-host-codec",
+        choices=["none", "deflate", "rans", "zstd"],
+        default="none",
+        help="host second stage over the device-packed id section "
+        "(--ids-codec device only); zstd = chunk-parallel zstd-1 ratio mode",
+    )
+    p.add_argument(
+        "--host-codec",
+        choices=["auto", "zlib"],
+        default="auto",
+        help="v2 side-section/PLC entropy backend (auto = zstd when available)",
+    )
+    p.add_argument(
         "--native",
         action="store_true",
         help="use the C++ CPU reference codec instead of the JAX pipeline",
@@ -128,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
             error_bound=eb,
             container=args.container,
             ids_codec=args.ids_codec,
+            dpk_host_codec=args.dpk_host_codec,
+            host_codec=args.host_codec,
         )
         blob = compress(data, config=cfg)
     t_comp = time.perf_counter() - t0

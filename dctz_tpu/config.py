@@ -77,12 +77,21 @@ class CodecConfig:
       dpk_host_codec: optional host second stage over the device-packed id
         section (ids_codec="device" only). "none" ships the packed bytes
         verbatim (maximum throughput: the host only concatenates);
-        "deflate" runs chunk-parallel level-1 deflate over them — measured
-        ~2x smaller packed section on smooth data (repetitive tiles) at
-        ~7 ms/MB of packed bytes on this host; "rans" is the light ratio
-        mode — ~12% off the packed section at ~5x deflate's speed both
-        ways (native codec required; falls back to "none" if unbuilt).
-        Decode reverses the chosen codec before the device unpack.
+        "zstd" runs chunk-parallel zstd-1 over them — measured ~20% off
+        the packed section (container ratio 9.4 -> 10.6 on the bench
+        workload) for ~0.8 ms/MB each way, strictly dominating the older
+        modes (requires the `zstandard` package; falls back to "none");
+        "deflate" runs chunk-parallel level-1 deflate (~2x smaller packed
+        section on smooth data at ~7 ms/MB); "rans" is the native-rANS
+        light ratio mode (~12% off at ~5x deflate's speed). Decode
+        reverses the chosen codec before the device unpack.
+      host_codec: entropy backend for v2 side sections and PLC planes.
+        "auto" (default) uses chunk-parallel zstd when the `zstandard`
+        package is importable — measured 2-10x faster than the
+        zlib/rANS stage at equal-or-better ratio on every bench stream
+        (docs/benchmarks.md); "zlib" forces the pre-zstd codec set for
+        byte parity with older fixtures. v1 containers always use zlib
+        (reference interop).
       verify: device-side verify-and-repair (ops/repair.py): reconstruct the
         array inside the encode program exactly as the decoder will, and
         force-escape the coefficients of any block whose pointwise error
@@ -108,7 +117,8 @@ class CodecConfig:
     ids4: bool = True
     ids_codec: Literal["auto", "deflate", "rans", "device"] = "auto"
     float_codec: Literal["plane", "deflate"] = "plane"
-    dpk_host_codec: Literal["none", "deflate", "rans"] = "none"
+    dpk_host_codec: Literal["none", "deflate", "rans", "zstd"] = "none"
+    host_codec: Literal["auto", "zlib"] = "auto"
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
     verify: bool = False

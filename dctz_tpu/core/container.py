@@ -78,6 +78,8 @@ class Header:
     dpkz: bool = False  # v2: DPK packed section host-deflated (ratio mode)
     dpkr: bool = False  # v2: DPK packed section host-rANS-coded (fast ratio mode)
     plc: bool = False  # v2: DC/AC sections per-plane coded (entropy.encode_float_stream)
+    zst: bool = False  # v2: side sections (ids4 exc / DPK width, exc, meta) chunk-zstd
+    dpks: bool = False  # v2: DPK packed section host-zstd-coded (fast ratio mode)
 
     @property
     def nblk(self) -> int:
@@ -214,6 +216,12 @@ _FLAG_DPKR = 1 << 9
 # each byte plane of the shuffled stream carries its own method (raw planes
 # skip deflate entirely — the low mantissa planes are near-random)
 _FLAG_PLC = 1 << 8
+# side sections that would be chunk-deflated are chunk-zstd-coded instead
+# (ids4 exceptions; DPK width / exceptions / meta) — entropy.chunked_zstd
+_FLAG_ZST = 1 << 10
+# the DPK packed section host-zstd-coded (the zstd ratio mode, strictly
+# dominating dpkz/dpkr on measured streams: docs/benchmarks.md)
+_FLAG_DPKS = 1 << 11
 
 
 def pack_v2(
@@ -252,6 +260,10 @@ def pack_v2(
         flags |= _FLAG_DPKR
     if header.plc:
         flags |= _FLAG_PLC
+    if header.zst:
+        flags |= _FLAG_ZST
+    if header.dpks:
+        flags |= _FLAG_DPKS
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -402,6 +414,8 @@ def parse_v2(
         dpkz=bool(flags & _FLAG_DPKZ),
         dpkr=bool(flags & _FLAG_DPKR),
         plc=bool(flags & _FLAG_PLC),
+        zst=bool(flags & _FLAG_ZST),
+        dpks=bool(flags & _FLAG_DPKS),
     )
     return header, tuple(streams), qtable, chunk_bytes
 

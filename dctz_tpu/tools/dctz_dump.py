@@ -30,7 +30,9 @@ def dump(path: str) -> dict:
             "dpk": hdr.dpk,
             "dpkz": hdr.dpkz,
             "dpkr": hdr.dpkr,
+            "dpks": hdr.dpks,
             "plc": hdr.plc,
+            "zst": hdr.zst,
         },
         "datatype": hdr.dtype.name,
         "num_elements": hdr.num_elements,

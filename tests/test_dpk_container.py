@@ -141,6 +141,45 @@ def test_dpk_host_codec_rans_mode():
     )
 
 
+def test_dpk_host_codec_zstd_mode():
+    """dpk_host_codec="zstd" (the dominating ratio mode): smaller container
+    than verbatim AND the rans ratio mode, identical reconstruction, dpks
+    flag set."""
+    from dctz_tpu.core import entropy
+
+    if not entropy.zstd_available():
+        pytest.skip("zstandard not installed")
+    x = _signal(400_000, np.float32, seed=17)
+    fast = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    small = dctz_tpu.compress(
+        x, config=_cfg(error_bound=1e-3, dpk_host_codec="zstd")
+    )
+    header, *_ = ct.parse_v2(small)
+    assert header.dpks and not header.dpkz and not header.dpkr
+    assert len(small) < len(fast)
+    np.testing.assert_array_equal(
+        dctz_tpu.decompress(small), dctz_tpu.decompress(fast)
+    )
+
+
+def test_host_codec_zlib_and_zstd_reconstruct_identically():
+    """host_codec only changes the stored bytes, never the decoded values;
+    the zst flag reflects the backend in use."""
+    from dctz_tpu.core import entropy
+
+    if not entropy.zstd_available():
+        pytest.skip("zstandard not installed")
+    x = _signal(300_000, np.float32, seed=23)
+    z = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3))
+    l = dctz_tpu.compress(x, config=_cfg(error_bound=1e-3, host_codec="zlib"))
+    hz, *_ = ct.parse_v2(z)
+    hl, *_ = ct.parse_v2(l)
+    assert hz.zst and not hl.zst
+    np.testing.assert_array_equal(
+        dctz_tpu.decompress(z), dctz_tpu.decompress(l)
+    )
+
+
 def test_dpk_sharded_matches_single_chip():
     """Per-shard device packing must produce a container that decodes to
     the identical reconstruction (tile-major outputs concatenate into the

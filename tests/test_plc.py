@@ -14,8 +14,10 @@ from dctz_tpu.core import container as ct
 from dctz_tpu.core import entropy
 
 
-def _roundtrip(raw: bytes, isz: int, chunk_bytes: int = 1 << 20) -> list[bytes]:
-    chunks = entropy.encode_float_stream(raw, isz, chunk_bytes, 6)
+def _roundtrip(
+    raw: bytes, isz: int, chunk_bytes: int = 1 << 20, use_zlib: bool = False
+) -> list[bytes]:
+    chunks = entropy.encode_float_stream(raw, isz, chunk_bytes, 6, use_zlib)
     assert entropy.decode_float_stream(chunks) == raw
     return chunks
 
@@ -30,19 +32,23 @@ def test_plc_roundtrip_random(isz, n_items):
 
 def test_plc_method_selection_float32():
     """Float-like data: low mantissa planes stored raw, exponent plane
-    deflated (the whole point of the codec)."""
+    entropy-coded (the whole point of the codec) — zstd (method 3) on the
+    default backend, deflate (method 1) on the zlib parity backend."""
     rng = np.random.default_rng(0)
     vals = (rng.normal(size=50_000).astype(np.float32) * 0.01).tobytes()
     chunks = _roundtrip(vals, 4)
-    directory = chunks[0]
-    methods = list(directory[1:5])
+    methods = list(chunks[0][1:5])
     assert methods[0] == 0 and methods[1] == 0, "mantissa planes must be raw"
-    assert methods[3] == 1, "sign/exponent plane must deflate"
+    want = 3 if entropy.zstd_available() else 1
+    assert methods[3] == want, "sign/exponent plane must be entropy-coded"
+    zl_chunks = _roundtrip(vals, 4, use_zlib=True)
+    assert list(zl_chunks[0][1:5])[3] == 1, "zlib backend must pick deflate"
     # coded size must match whole-stream shuffle+deflate within 2%
     legacy = len(
         entropy.deflate(entropy.shuffle_bytes(vals, 4), 6)
     )
     assert sum(map(len, chunks)) <= legacy * 1.02
+    assert sum(map(len, zl_chunks)) <= legacy * 1.02
 
 
 def test_plc_rans_method_on_large_entropy_plane():
@@ -66,10 +72,14 @@ def test_plc_rans_method_on_large_entropy_plane():
     raw = (
         skewed.astype(np.uint16) | (runs.astype(np.uint16) << 8)
     ).tobytes()
-    chunks = _roundtrip(raw, 2)
+    chunks = _roundtrip(raw, 2, use_zlib=True)
     methods = list(chunks[0][1:3])
     assert methods[0] == 2, methods
     assert methods[1] == 1, methods
+    if entropy.zstd_available():
+        # the default backend codes both planes with zstd (method 3)
+        z_chunks = _roundtrip(raw, 2)
+        assert list(z_chunks[0][1:3]) == [3, 3]
 
 
 def test_plc_misaligned_degrades_to_single_plane():

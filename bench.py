@@ -151,8 +151,10 @@ def _amortized_s(call, *operands) -> float:
 
 def amortized_device_encode_s(x) -> float:
     """The compress() device stage, as api._compress_fused dispatches it:
-    stats -> fully-fused DPK encode kernel (fused_encode_dpk) when eligible,
-    else the three-program chain (fused encode pipeline + id packer)."""
+    stats -> fully-fused DPK mega-kernel (fused_encode_dpk) when force-
+    enabled, else the default single-program unified chain
+    (fused_encode_pipeline_dpk: kernel + ONE shared chunk sort for the AC
+    and exception streams)."""
     from dctz_tpu import api
     from dctz_tpu.core.quantize import chunk_width
     from dctz_tpu.ops import compaction as cp
@@ -176,15 +178,14 @@ def amortized_device_encode_s(x) -> float:
             wdt, packed, exc_rows, exc_counts, ac_chunks, counts, dc = (
                 fed.fused_encode_dpk(arr, sf, CFG.error_bound, False)
             )
-            ovf = jnp.any(counts > fed.CAP).astype(jnp.float32)
-            exc_ovf = jnp.any(exc_counts > fed.CAP).astype(jnp.float32)
+            ovf = jnp.any(exc_counts > fed.CAP).astype(jnp.float32)
         else:
-            ids, dc, ac_chunks, counts, ovf = fe.fused_encode_pipeline(
-                arr, sf, CFG.error_bound, None
+            wdt, packed, exc_rows, exc_counts, ac_chunks, counts, dc, ovf = (
+                fe.fused_encode_pipeline_dpk(
+                    arr, sf, CFG.error_bound, idpack.CAPE
+                )
             )
-            wdt, packed, exc_rows, exc_counts, exc_ovf = idpack.pack_ids(
-                ids, N, idpack.B_DEFAULT, idpack.CAPE
-            )
+            ovf = ovf.astype(jnp.float32)
         # consume every output so nothing is dead-code eliminated
         return (
             jnp.sum(packed.astype(jnp.float32))
@@ -197,7 +198,6 @@ def amortized_device_encode_s(x) -> float:
             + sf
             + mean
             + ovf
-            + exc_ovf
         ).astype(jnp.float32)
 
     return _amortized_s(call, x)

@@ -311,36 +311,34 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             pk = mega[:4]
             qtable_dev = None
             bound_ok = None
+        elif not cfg.verify and dpk:
+            # single-program encode: kernel + ONE shared chunk sort for the
+            # AC and exception streams (fused_encode_pipeline_dpk) — one
+            # overflow flag, one readback (each device_get costs a full
+            # tunnel/PCIe round trip). n_pad, not n: the fused path
+            # transforms whole zero-padded blocks, so every coefficient
+            # position in the padded grid carries real information (the
+            # decoder's n_stream = n_pad).
+            unified = (
+                fe.fused_encode_pipeline_dpk_qt
+                if cfg.mode == "qt"
+                else fe.fused_encode_pipeline_dpk
+            )
+            uout = unified(arr, sf, cfg.error_bound, idpack.CAPE)
+            if bool(jax.device_get(uout[7])):
+                # exception-capacity overflow (AC escapes are a subset of
+                # exceptions, so this flag covers both): retry at full
+                # chunk width — always lossless
+                uout = unified(
+                    arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
+                )
+            pk = uout[:4]
+            ac_chunks, counts, dc = uout[4], uout[5], uout[6]
+            qtable_dev = uout[8] if cfg.mode == "qt" else None
+            bound_ok = None
         else:
             out = pipeline(arr, sf, cfg.error_bound, None)
-            if not cfg.verify and dpk:
-                # dispatch the id packer eagerly and read BOTH overflow
-                # flags in one readback: each device_get costs a full
-                # tunnel/PCIe round trip. (ids don't depend on the AC
-                # capacity, so an AC-overflow retry never invalidates the
-                # packed ids; only an exception overflow forces a repack.)
-                # n_pad, not n: the fused path transforms whole zero-padded
-                # blocks, so every coefficient position in the padded grid
-                # carries real information (the decoder's n_stream = n_pad).
-                pk = idpack.pack_ids(
-                    out[0], n_pad, idpack.B_DEFAULT, idpack.CAPE
-                )
-                ovf_ac, ovf_exc = (
-                    bool(v) for v in jax.device_get((out[4], pk[4]))
-                )
-                if ovf_ac:
-                    out = pipeline(
-                        arr,
-                        sf,
-                        cfg.error_bound,
-                        chunk_width(n_pad, cfg.block_size),
-                    )
-                if ovf_exc:
-                    pk = idpack.pack_ids(
-                        out[0], n_pad, idpack.B_DEFAULT, 1 << 20
-                    )
-                pk = pk[:4]
-            elif bool(jax.device_get(out[4])):
+            if bool(jax.device_get(out[4])):
                 out = pipeline(
                     arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
                 )

@@ -352,6 +352,50 @@ def fused_encode_pipeline(
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fused_encode_pipeline_dpk(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    cape: int,
+    interpret: bool = False,
+):
+    """Fused kernel + single-sort DPK coding: the whole EC device encode in
+    one program. The AC and exception compactions share one chunk sort
+    (idpack.pack_ids_with_ac) — streams byte-identical to
+    fused_encode_pipeline + idpack.pack_ids, at roughly half the device
+    time (the two full-array sorts were the encode cost center).
+
+    Returns (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
+    overflow)."""
+    from . import idpack
+
+    ids, dcac = fused_encode_ec(x, sf, error_bound, 1.0, interpret)
+    return idpack.pack_ids_with_ac(
+        ids, dcac, x.shape[0], idpack.B_DEFAULT, cape
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def fused_encode_pipeline_dpk_qt(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    cape: int,
+    interpret: bool = False,
+):
+    """QT twin of fused_encode_pipeline_dpk; appends the (64,) qtable
+    (slot 0 already patched with the last block's DC)."""
+    from . import idpack
+
+    ids, dcac, qtable = fused_encode_qt(x, sf, error_bound, 1.0, interpret)
+    out = idpack.pack_ids_with_ac(
+        ids, dcac, x.shape[0], idpack.B_DEFAULT, cape
+    )
+    qtable = qtable.at[0].set(out[6][-1])
+    return out + (qtable,)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fused_encode_pipeline_qt(
     x: jax.Array,
     sf: jax.Array,

@@ -61,6 +61,7 @@ CAPE = 128  # default per-chunk exception capacity (fallback: chunk width)
 EXC_BITS = 8  # width-selection penalty per exception byte (pre-deflate)
 _WIDTHS = (0, 1, 2, 3, 4)
 _INF = jnp.int32(1 << 30)
+_INTMAX = jnp.iinfo(jnp.int32).max
 
 
 def tiles_of(nblk: int, b: int) -> int:
@@ -195,6 +196,102 @@ def pack_ids(ids2d: jax.Array, n_valid, b: int, cape: int):
         exc_rows.astype(jnp.uint8),
         exc_counts,
         exc_ovf,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def pack_ids_with_ac(
+    ids2d: jax.Array, dcac2d: jax.Array, n_valid, b: int, cape: int
+):
+    """pack_ids + AC compaction sharing ONE chunk sort (the encode-chain
+    cost center: the two full-array chunk sorts were ~2/3 of device encode,
+    docs/benchmarks.md).
+
+    Every AC escape (id == ESCAPE -> nibble 15) is also a DPK exception
+    (its tile's width w satisfies 1 <= w <= 4, so 15 >= 2^w - 1), so one
+    sort over the exception mask compacts BOTH streams: the id byte rides
+    the low 8 bits of the position key (position order is untouched —
+    positions are distinct, the byte only pads the key), the escaped
+    coefficient rides as the sort payload. AC values are then tightened out
+    of the cape-wide union rows by a second sort that is cw/cape times
+    narrower than the one it replaces.
+
+    ids2d/dcac2d: the fused kernel's (nblk, bs) outputs. Returns
+    (width (T,bs) u8, packed (T*bs, b//2) u8, exc_rows (nc,cape) u8,
+    exc_counts (nc,) i32, ac_rows (nc,cape) f32, ac_counts (nc,) i32,
+    dc (nblk,) f32, overflow () bool) — byte-identical streams to
+    pack_ids + compaction.compact_chunked (tests/test_idpack.py).
+    """
+    from ..core.quantize import chunk_width
+
+    nblk, bs = ids2d.shape
+    t = tiles_of(nblk, b)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)
+    valid = (row * bs + col < n_valid) & (col >= 1)
+    ids_i = jnp.where(valid, ids2d.astype(jnp.int32), 0)
+    nib_bm = jnp.minimum(ids_i, 15)
+
+    pad = t * b - nblk
+    nib_p = jnp.pad(nib_bm, ((0, pad), (0, 0))) if pad else nib_bm
+    tiles = jnp.swapaxes(nib_p.reshape(t, b, bs), 1, 2)  # (T, bs, B)
+
+    maxv = jnp.max(tiles, axis=-1)
+    costs = [jnp.where(maxv == 0, jnp.int32(0), _INF)]
+    for wb in _WIDTHS[1:]:
+        thr = (1 << wb) - 1
+        cnt = jnp.sum((tiles >= thr).astype(jnp.int32), axis=-1)
+        costs.append(jnp.int32(wb * b) + jnp.int32(EXC_BITS) * cnt)
+    width = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)
+
+    cap = b // 2
+    packed = jnp.zeros((t, bs, cap), jnp.uint8)
+    for wb in _WIDTHS[1:]:
+        thr = (1 << wb) - 1
+        pk = _pack_w(jnp.minimum(tiles, thr), wb, b)
+        pk = jnp.pad(pk, ((0, 0), (0, 0), (0, cap - pk.shape[-1])))
+        packed = jnp.where((width == wb)[..., None], pk, packed)
+
+    # ---- unified compaction ----
+    thr_bm = _thr_block_major(width, nblk, b)
+    exc_mask = nib_bm >= thr_bm
+    cw = chunk_width(nblk * bs, bs)
+    cape = min(cape, cw)
+    nc = (nblk * bs) // cw
+    mask2 = exc_mask.reshape(nc, cw)
+    ids2 = ids_i.reshape(nc, cw)
+    vals2 = dcac2d.reshape(nc, cw)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nc, cw), 1)
+    keys = jnp.where(mask2, (pos << 8) | ids2, _INTMAX)
+    skeys, svals = jax.lax.sort((keys, vals2), dimension=-1, num_keys=1)
+    v = skeys[:, :cape] != _INTMAX
+    exc_rows = jnp.where(v, skeys[:, :cape] & 255, 0).astype(jnp.uint8)
+    union_vals = jnp.where(v, svals[:, :cape], 0.0)
+    exc_counts = jnp.sum(mask2, axis=-1, dtype=jnp.int32)
+
+    # stage 2: tighten the AC escapes (id byte == ESCAPE) out of the union
+    esc2 = v & (exc_rows == jnp.uint8(C.ESCAPE))
+    pos2 = jax.lax.broadcasted_iota(jnp.int32, (nc, cape), 1)
+    keys2 = jnp.where(esc2, pos2, _INTMAX)
+    sk2, ac_rows = jax.lax.sort((keys2, union_vals), dimension=-1, num_keys=1)
+    ac_rows = jnp.where(sk2 != _INTMAX, ac_rows, 0.0)
+    # true per-chunk escape totals (not clipped by cape): drives the retry
+    # flag and header.ac_count exactly like compact_chunked's counts
+    esc_full = mask2 & (ids2 == C.ESCAPE)
+    ac_counts = jnp.sum(esc_full, axis=-1, dtype=jnp.int32)
+
+    overflow = jnp.any(exc_counts > cape)
+    dc = dcac2d[:, 0]
+    return (
+        width.astype(jnp.uint8),
+        packed.reshape(t * bs, cap),
+        exc_rows,
+        exc_counts,
+        ac_rows,
+        ac_counts,
+        dc,
+        overflow,
     )
 
 

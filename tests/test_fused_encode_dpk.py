@@ -93,9 +93,11 @@ def test_api_dispatch_matches_chain_container():
 
     orig_ucc = cp.use_chunked_compaction
     orig_pipe = fe.fused_encode_pipeline
+    orig_uni = fe.fused_encode_pipeline_dpk
     try:
         cp.use_chunked_compaction = lambda: True
         fe.fused_encode_pipeline = lambda *a: orig_pipe(*a[:4], True)
+        fe.fused_encode_pipeline_dpk = lambda *a: orig_uni(*a[:4], True)
         blob_chain = dctz_tpu.compress(x, config=cfg)
         fed._FORCE = True
         fed._INTERPRET = True
@@ -105,6 +107,7 @@ def test_api_dispatch_matches_chain_container():
         fed._INTERPRET = False
         cp.use_chunked_compaction = orig_ucc
         fe.fused_encode_pipeline = orig_pipe
+        fe.fused_encode_pipeline_dpk = orig_uni
     assert blob_mega == blob_chain
     # spiky data is the documented pointwise-bound worst case without
     # cfg.verify (coefficient-domain guarantee only) — assert the round
@@ -132,3 +135,39 @@ def test_overflow_drops_but_counts_tell():
     assert bool(ovf)
     np.testing.assert_array_equal(acn, np.asarray(counts))
     np.testing.assert_array_equal(np.asarray(out[4]), np.asarray(ac_chunks))
+
+
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_unified_dispatch_matches_xla_dpk_container(mode):
+    """The default fused DPK branch (fused_encode_pipeline_dpk[_qt]: one
+    program, one shared chunk sort) must produce a byte-identical container
+    to the unfused XLA DPK path that CPU backends take."""
+    import dctz_tpu
+    from dctz_tpu.config import CodecConfig
+    from dctz_tpu.ops import compaction as cp
+
+    n = 1024 * 64
+    x = _signals(n)["spiky"]
+    cfg = CodecConfig(
+        mode=mode, error_bound=1e-3, container="v2", ids_codec="device"
+    )
+
+    blob_xla = dctz_tpu.compress(x, config=cfg)  # CPU: non-fused path
+
+    orig_ucc = cp.use_chunked_compaction
+    orig_uni = fe.fused_encode_pipeline_dpk
+    orig_uni_qt = fe.fused_encode_pipeline_dpk_qt
+    try:
+        cp.use_chunked_compaction = lambda: True
+        fe.fused_encode_pipeline_dpk = lambda *a: orig_uni(*a[:4], True)
+        fe.fused_encode_pipeline_dpk_qt = lambda *a: orig_uni_qt(
+            *a[:4], True
+        )
+        blob_fused = dctz_tpu.compress(x, config=cfg)
+    finally:
+        cp.use_chunked_compaction = orig_ucc
+        fe.fused_encode_pipeline_dpk = orig_uni
+        fe.fused_encode_pipeline_dpk_qt = orig_uni_qt
+    assert blob_fused == blob_xla
+    y = dctz_tpu.decompress(blob_fused)
+    assert y.shape == x.shape and np.isfinite(y).all()

@@ -117,3 +117,78 @@ def test_exception_overflow_flag():
     ids[:, 0] = C.ESCAPE
     *_, exc_counts, ovf = idpack.pack_ids(jnp.asarray(ids), 256 * 64, 256, 16)
     assert bool(ovf)
+
+
+def _dcac_for(rng, ids):
+    """A dcac grid consistent with the fused kernel's contract: DC at col 0,
+    escaped coefficients (|v| > 0) at id==ESCAPE positions, zeros elsewhere."""
+    nblk, bs = ids.shape
+    dcac = np.zeros((nblk, bs), np.float32)
+    esc = ids == C.ESCAPE
+    esc[:, 0] = False
+    vals = (rng.standard_normal(ids.shape) * 10 + 1).astype(np.float32)
+    dcac = np.where(esc, np.where(vals == 0, 1.0, vals), dcac)
+    dcac[:, 0] = rng.standard_normal(nblk).astype(np.float32)
+    return dcac
+
+
+@pytest.mark.parametrize("heavy", [False, True])
+@pytest.mark.parametrize("cape", [128, 512])
+def test_pack_ids_with_ac_matches_two_sort_path(heavy, cape):
+    """The single-sort unified encode (pack_ids_with_ac) must be
+    byte-identical to pack_ids + compaction.compact_chunked on every
+    stream it emits."""
+    from dctz_tpu.core.quantize import chunk_width
+    from dctz_tpu.ops import compaction as cp
+
+    rng = np.random.default_rng(11)
+    nblk, bs, b = 700, 64, 256
+    ids = _random_ids(rng, nblk, bs, heavy)
+    dcac = _dcac_for(rng, ids)
+    n_valid = nblk * bs
+
+    (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc, ovf) = (
+        idpack.pack_ids_with_ac(
+            jnp.asarray(ids), jnp.asarray(dcac), n_valid, b, cape
+        )
+    )
+    w1, pk1, exc1, excn1, eovf1 = idpack.pack_ids(
+        jnp.asarray(ids), n_valid, b, cape
+    )
+    np.testing.assert_array_equal(np.asarray(width), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(pk1))
+    np.testing.assert_array_equal(np.asarray(exc_rows), np.asarray(exc1))
+    np.testing.assert_array_equal(np.asarray(exc_counts), np.asarray(excn1))
+    assert bool(ovf) == bool(eovf1)
+
+    col = np.arange(bs)[None, :]
+    esc = (ids == C.ESCAPE) & (col >= 1)
+    cw = chunk_width(nblk * bs, bs)
+    ac1, counts1, _ = cp.compact_chunked(
+        jnp.asarray(esc.reshape(-1)),
+        jnp.asarray(dcac.reshape(-1)),
+        cw,
+        min(cape, cw),
+    )
+    np.testing.assert_array_equal(np.asarray(ac_counts), np.asarray(counts1))
+    # overflowed chunks truncate differently (union vs AC-only order) — both
+    # paths flag the retry, so only non-overflowed rows must agree
+    ok_rows = np.asarray(exc_counts) <= min(cape, cw)
+    if not bool(ovf):
+        assert ok_rows.all()
+    np.testing.assert_array_equal(
+        np.asarray(ac_rows)[ok_rows], np.asarray(ac1)[ok_rows]
+    )
+    np.testing.assert_array_equal(np.asarray(dc), dcac[:, 0])
+
+
+def test_pack_ids_with_ac_overflow_flag_covers_ac():
+    """Union overflow must flag whenever exceptions exceed cape (AC escapes
+    are a subset, so the single flag is sufficient for the retry)."""
+    rng = np.random.default_rng(5)
+    ids = np.full((256, 64), C.ESCAPE, np.uint8)  # every AC escapes
+    dcac = _dcac_for(rng, ids)
+    *_, ovf = idpack.pack_ids_with_ac(
+        jnp.asarray(ids), jnp.asarray(dcac), 256 * 64, 256, 16
+    )
+    assert bool(ovf)

@@ -151,41 +151,24 @@ def _amortized_s(call, *operands) -> float:
 
 def amortized_device_encode_s(x) -> float:
     """The compress() device stage, as api._compress_fused dispatches it:
-    stats -> fully-fused DPK mega-kernel (fused_encode_dpk) when force-
-    enabled, else the default single-program unified chain
-    (fused_encode_pipeline_dpk: kernel + ONE shared chunk sort for the AC
-    and exception streams)."""
+    stats -> the single-program unified chain (fused_encode_pipeline_dpk:
+    kernel + ONE shared chunk compaction for the AC and exception
+    streams)."""
     from dctz_tpu import api
-    from dctz_tpu.core.quantize import chunk_width
-    from dctz_tpu.ops import compaction as cp
     from dctz_tpu.ops import fused_encode as fe
-    from dctz_tpu.ops import fused_encode_dpk as fed
     from dctz_tpu.ops import idpack
 
     assert N % 1024 == 0  # no pad tail at bench shape
-    mega = (
-        fed.enabled()
-        and idpack.B_DEFAULT == fed.B
-        and idpack.CAPE == fed.CAP
-        and cp.CAPC == fed.CAP
-        and chunk_width(N, CFG.block_size) == fed.CW
-    )
 
     def call(eps, x):
         arr = x + eps
         sf, mean = api._stats_device(arr, N, CFG.sf_adj)
-        if mega:
-            wdt, packed, exc_rows, exc_counts, ac_chunks, counts, dc = (
-                fed.fused_encode_dpk(arr, sf, CFG.error_bound, False)
+        wdt, packed, exc_rows, exc_counts, ac_chunks, counts, dc, ovf = (
+            fe.fused_encode_pipeline_dpk(
+                arr, sf, CFG.error_bound, idpack.CAPE
             )
-            ovf = jnp.any(exc_counts > fed.CAP).astype(jnp.float32)
-        else:
-            wdt, packed, exc_rows, exc_counts, ac_chunks, counts, dc, ovf = (
-                fe.fused_encode_pipeline_dpk(
-                    arr, sf, CFG.error_bound, idpack.CAPE
-                )
-            )
-            ovf = ovf.astype(jnp.float32)
+        )
+        ovf = ovf.astype(jnp.float32)
         # consume every output so nothing is dead-code eliminated
         return (
             jnp.sum(packed.astype(jnp.float32))

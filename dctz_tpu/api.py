@@ -165,41 +165,12 @@ def _decode_device_dpk(
 ):
     """Decompression from the device-packed id stream: unpack on device
     (ops/idpack.py), then the shared decode body — the raw bin_index bytes
-    never exist on the host. Default geometry takes the single-pass fused
-    Pallas kernel (ops/fused_decode.py) instead of the XLA chain."""
-    from .ops import fused_decode as fd
+    never exist on the host. (A fully-fused Pallas variant lives in
+    ops/research/fused_decode.py; it measured slower than this XLA chain
+    and is no longer dispatched.)"""
     from .ops import idpack
 
     nblk = -(-n // cfg.block_size)
-    if (
-        fd.enabled()
-        and ac_layout == "chunked"
-        and jnp.dtype(dtype) == jnp.float32
-        and n % cfg.block_size == 0
-        and cfg.nbins == C.NBINS
-        and fd.eligible(
-            jnp.float32,
-            cfg.block_size,
-            tile_b,
-            cw,
-            exc_rows.shape[1],
-            ac_buf.shape[1],
-        )
-    ):
-        return fd.fused_decode_dpk(
-            width,
-            packed_rows,
-            exc_rows,
-            dc,
-            ac_buf,
-            sf.astype(jnp.float32),
-            n,
-            tile_b,
-            cw,
-            cfg,
-            qtable,
-            fd._INTERPRET,
-        )
     bin_ids = idpack.unpack_ids(
         width, packed_rows, exc_rows, nblk, cfg.block_size, tile_b, cw
     )
@@ -281,37 +252,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         )
         from .ops import idpack
 
-        mega = None
-        if dpk and not cfg.verify and cfg.mode == "ec":
-            from .core.quantize import chunk_width as _cwf
-            from .ops import compaction as cp
-            from .ops import fused_encode_dpk as fed
-
-            if (
-                fed.enabled()
-                and idpack.B_DEFAULT == fed.B
-                and idpack.CAPE == fed.CAP
-                and cp.CAPC == fed.CAP
-                and _cwf(n_pad, cfg.block_size) == fed.CW
-            ):
-                out7 = fed.fused_encode_dpk(
-                    arr, sf, cfg.error_bound, fed._INTERPRET
-                )
-                ovf2 = jax.device_get(
-                    jnp.stack(
-                        [jnp.any(out7[5] > fed.CAP), jnp.any(out7[3] > fed.CAP)]
-                    )
-                )
-                if not (bool(ovf2[0]) or bool(ovf2[1])):
-                    mega = out7
-                # overflow (either stream): rare capacity retry — fall back
-                # to the unfused chain, which already owns that logic
-        if mega is not None:
-            dc, ac_chunks, counts = mega[6], mega[4], mega[5]
-            pk = mega[:4]
-            qtable_dev = None
-            bound_ok = None
-        elif not cfg.verify and dpk:
+        if not cfg.verify and dpk:
             # single-program encode: kernel + ONE shared chunk sort for the
             # AC and exception streams (fused_encode_pipeline_dpk) — one
             # overflow flag, one readback (each device_get costs a full

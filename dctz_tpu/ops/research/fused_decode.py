@@ -49,7 +49,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core import constants as C
+from ...core import constants as C
 
 BS = 64  # DCT block size (container invariant)
 TPT = 4  # tiles per grid step (amortizes per-step overhead; higher values
@@ -459,6 +459,6 @@ def _split_const_np(cap: int) -> np.ndarray:
 
 
 def _idct_basis_np() -> np.ndarray:
-    from ..core.transform import _blockdiag_np
+    from ...core.transform import _blockdiag_np
 
     return _blockdiag_np(BS, 1, False)

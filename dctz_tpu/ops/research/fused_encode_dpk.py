@@ -49,8 +49,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core import constants as C
-from ..core.transform import _blockdiag_np
+from ...core import constants as C
+from ...core.transform import _blockdiag_np
 
 BS = 64
 B = 256  # blocks per DPK tile (idpack.B_DEFAULT)

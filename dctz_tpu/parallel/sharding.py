@@ -282,10 +282,7 @@ def decode_sharded_dpk(
     pads to a tile multiple of n_devices (synthetic zero tiles decode to
     zero blocks: width 0 rows unpack to all-center ids and consume no
     exceptions). Per shard the same program as the single-chip path runs:
-    the fused Pallas kernel (ops/fused_decode.py) when eligible, else
     unpack (ops/idpack.py) + the XLA decode chain."""
-    from ..core import constants as C
-    from ..ops import fused_decode as fd
     from ..ops import idpack
 
     bs = cfg.block_size
@@ -293,32 +290,8 @@ def decode_sharded_dpk(
     t_l = width.shape[0] // n_dev
     n_local = t_l * tile_b * bs
 
-    use_fused = (
-        fd.enabled()
-        and jnp.dtype(dtype) == jnp.float32
-        and cfg.nbins == C.NBINS
-        and fd.eligible(
-            jnp.float32, bs, tile_b, cw, exc_rows.shape[1], ac_rows.shape[1]
-        )
-    )
-
     def body(w_l, p_l, e_l, dc_l, ac_l, sf_rep, qt_rep):
         qt = qt_rep if cfg.mode == "qt" else None
-        if use_fused:
-            return fd.fused_decode_dpk(
-                w_l,
-                p_l,
-                e_l,
-                dc_l,
-                ac_l,
-                sf_rep.astype(jnp.float32),
-                n_local,
-                tile_b,
-                cw,
-                cfg,
-                qt,
-                fd._INTERPRET,
-            )
         bin_ids = idpack.unpack_ids(
             w_l, p_l, e_l, n_local // bs, bs, tile_b, cw
         )

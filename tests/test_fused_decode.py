@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from dctz_tpu.config import CodecConfig
 from dctz_tpu.core import constants as C, quantize as qz, transform
-from dctz_tpu.ops import compaction as cp, fused_decode as fd, idpack
+from dctz_tpu.ops import compaction as cp, idpack
+from dctz_tpu.ops.research import fused_decode as fd
 
 BS = 64
 
@@ -162,30 +163,3 @@ def test_eligibility_gate():
     assert not fd.eligible(jnp.float32, 64, 256, 512, 128, 512)  # capc
     assert fd.eligible(jnp.float32, 64, 256, 512, 128, 128)
 
-
-def test_api_dpk_roundtrip_via_fused(monkeypatch):
-    """Public-API DPK decompress routed through the fused kernel must be
-    bit-identical to the XLA chain's reconstruction."""
-    import dctz_tpu
-
-    rng = np.random.default_rng(42)
-    t = np.linspace(0, 60, 70_000)
-    x = (
-        np.sin(t) * 40
-        + np.sin(t * 13.7) * 3
-        + rng.standard_normal(t.size) * 0.05
-    ).astype(np.float32)
-    cfg = CodecConfig(error_bound=1e-3, container="v2", ids_codec="device")
-    blob = dctz_tpu.compress(x, config=cfg)
-
-    monkeypatch.setattr(cp, "use_chunked_compaction", lambda: True)
-    y_xla = dctz_tpu.decompress(blob)
-
-    monkeypatch.setattr(fd, "_FORCE", True)
-    monkeypatch.setattr(fd, "_INTERPRET", True)
-    from dctz_tpu import api
-
-    api._decode_device_dpk.clear_cache()
-    y_fused = dctz_tpu.decompress(blob)
-    assert dctz_tpu.evaluate(x, y_fused, 1e-3)["bound_satisfied"]
-    np.testing.assert_allclose(y_fused, y_xla, rtol=1e-6, atol=1e-6)

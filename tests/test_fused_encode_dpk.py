@@ -1,4 +1,4 @@
-"""Fully-fused DPK encode kernel (ops/fused_encode_dpk.py), interpret mode.
+"""Fully-fused DPK encode kernel (ops/research/fused_encode_dpk.py), interpret mode.
 
 Must be BYTE-IDENTICAL to the unfused chain (fused_encode_pipeline for
 ids/dc/AC + idpack.pack_ids for widths/packed/exceptions) — same streams,
@@ -11,7 +11,8 @@ import pytest
 import jax.numpy as jnp
 
 from dctz_tpu.core import quantize as qz
-from dctz_tpu.ops import fused_encode as fe, fused_encode_dpk as fed, idpack
+from dctz_tpu.ops import fused_encode as fe, idpack
+from dctz_tpu.ops.research import fused_encode_dpk as fed
 
 
 def _signals(n):
@@ -78,43 +79,6 @@ def test_scaling_inside_kernel():
     )
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
-
-
-def test_api_dispatch_matches_chain_container():
-    """The _compress_fused mega-kernel branch (default-off; _FORCE opt-in)
-    must produce a byte-identical container to the unfused chain."""
-    import dctz_tpu
-    from dctz_tpu.config import CodecConfig
-    from dctz_tpu.ops import compaction as cp
-
-    n = 1024 * 64
-    x = _signals(n)["spiky"]
-    cfg = CodecConfig(error_bound=1e-3, container="v2", ids_codec="device")
-
-    orig_ucc = cp.use_chunked_compaction
-    orig_pipe = fe.fused_encode_pipeline
-    orig_uni = fe.fused_encode_pipeline_dpk
-    try:
-        cp.use_chunked_compaction = lambda: True
-        fe.fused_encode_pipeline = lambda *a: orig_pipe(*a[:4], True)
-        fe.fused_encode_pipeline_dpk = lambda *a: orig_uni(*a[:4], True)
-        blob_chain = dctz_tpu.compress(x, config=cfg)
-        fed._FORCE = True
-        fed._INTERPRET = True
-        blob_mega = dctz_tpu.compress(x, config=cfg)
-    finally:
-        fed._FORCE = None
-        fed._INTERPRET = False
-        cp.use_chunked_compaction = orig_ucc
-        fe.fused_encode_pipeline = orig_pipe
-        fe.fused_encode_pipeline_dpk = orig_uni
-    assert blob_mega == blob_chain
-    # spiky data is the documented pointwise-bound worst case without
-    # cfg.verify (coefficient-domain guarantee only) — assert the round
-    # trip reconstructs, not the pointwise bound
-    y = dctz_tpu.decompress(blob_mega)
-    assert y.shape == x.shape and np.isfinite(y).all()
-
 
 def test_overflow_drops_but_counts_tell():
     """Chunks past capacity must not corrupt neighbors: counts > CAP flag

@@ -46,21 +46,9 @@ def test_sharded_streams_match_single_chip(mesh, mode):
     single = dctz_tpu.compress(x, config=cfg)
     sharded = compress_sharded(x, config=cfg, mesh=mesh)
 
-    def strip_mean(b):  # mean (v2 header bytes 32-40) differs by reduction
-        # order; unused in reconstruction. Format v3 covers it with the
-        # header/table crc, so neutralize that field too (its offset is
-        # after the section tables).
-        import struct as _s
-
-        from dctz_tpu.core import container as ctn
-
-        flags = _s.unpack_from("<H", b, 6)[0]
-        ns = 6 if flags & ctn._FLAG_DPK else (4 if flags & ctn._FLAG_IDS4 else 3)
-        off = ctn._V2_FIXED_SIZE
-        for _ in range(ns):
-            (cnt,) = _s.unpack_from("<I", b, off)
-            off += 4 + 8 * cnt
-        return b[:32] + b"\0" * 8 + b[40:off] + b"\0\0\0\0" + b[off + 4 :]
+    # mean differs by reduction order and is unused in reconstruction;
+    # canonical() zeroes it and recomputes the v3 header/table crc
+    from util import canonical as strip_mean
 
     if mode == "ec":
         assert strip_mean(single) == strip_mean(sharded)

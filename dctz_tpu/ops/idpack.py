@@ -262,20 +262,32 @@ def pack_ids_with_ac(
     mask2 = exc_mask.reshape(nc, cw)
     ids2 = ids_i.reshape(nc, cw)
     vals2 = dcac2d.reshape(nc, cw)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (nc, cw), 1)
-    keys = jnp.where(mask2, (pos << 8) | ids2, _INTMAX)
-    skeys, svals = jax.lax.sort((keys, vals2), dimension=-1, num_keys=1)
-    v = skeys[:, :cape] != _INTMAX
-    exc_rows = jnp.where(v, skeys[:, :cape] & 255, 0).astype(jnp.uint8)
-    union_vals = jnp.where(v, svals[:, :cape], 0.0)
     exc_counts = jnp.sum(mask2, axis=-1, dtype=jnp.int32)
+    from . import shuffle
 
-    # stage 2: tighten the AC escapes (id byte == ESCAPE) out of the union
-    esc2 = v & (exc_rows == jnp.uint8(C.ESCAPE))
-    pos2 = jax.lax.broadcasted_iota(jnp.int32, (nc, cape), 1)
-    keys2 = jnp.where(esc2, pos2, _INTMAX)
-    sk2, ac_rows = jax.lax.sort((keys2, union_vals), dimension=-1, num_keys=1)
-    ac_rows = jnp.where(sk2 != _INTMAX, ac_rows, 0.0)
+    if shuffle.enabled() and shuffle.eligible(cw):
+        # Pallas butterfly: one kernel compacts the (id byte, value) pairs
+        # AND tightens the AC escapes out of the union — bit-identical to
+        # the sort pair below (ops/shuffle.py; tests/test_idpack.py)
+        exc_rows, ac_rows = shuffle.compact_unified(
+            mask2, ids2, vals2, cape, cape
+        )
+    else:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (nc, cw), 1)
+        keys = jnp.where(mask2, (pos << 8) | ids2, _INTMAX)
+        skeys, svals = jax.lax.sort((keys, vals2), dimension=-1, num_keys=1)
+        v = skeys[:, :cape] != _INTMAX
+        exc_rows = jnp.where(v, skeys[:, :cape] & 255, 0).astype(jnp.uint8)
+        union_vals = jnp.where(v, svals[:, :cape], 0.0)
+
+        # stage 2: tighten the AC escapes (id byte == ESCAPE) from the union
+        esc2 = v & (exc_rows == jnp.uint8(C.ESCAPE))
+        pos2 = jax.lax.broadcasted_iota(jnp.int32, (nc, cape), 1)
+        keys2 = jnp.where(esc2, pos2, _INTMAX)
+        sk2, ac_rows = jax.lax.sort(
+            (keys2, union_vals), dimension=-1, num_keys=1
+        )
+        ac_rows = jnp.where(sk2 != _INTMAX, ac_rows, 0.0)
     # true per-chunk escape totals (not clipped by cape): drives the retry
     # flag and header.ac_count exactly like compact_chunked's counts
     esc_full = mask2 & (ids2 == C.ESCAPE)

@@ -163,14 +163,25 @@ def _decode_device_dpk(
     sf: jax.Array,
     qtable: jax.Array | None,
 ):
-    """Decompression from the device-packed id stream: unpack on device
-    (ops/idpack.py), then the shared decode body — the raw bin_index bytes
-    never exist on the host. (A fully-fused Pallas variant lives in
-    ops/research/fused_decode.py; it measured slower than this XLA chain
-    and is no longer dispatched.)"""
-    from .ops import idpack
+    """Decompression from the device-packed id stream: the raw bin_index
+    bytes never exist on the host. On TPU backends with default geometry the
+    whole decode runs as ONE Pallas program (ops/dpk_fuse.decode_fused:
+    unpack + butterfly expansions + dequantize + IDCT, bit-identical to the
+    chain below); otherwise unpack on device (ops/idpack.py) then the shared
+    decode body."""
+    from .ops import dpk_fuse, idpack
 
     nblk = -(-n // cfg.block_size)
+    if (
+        dpk_fuse.enabled()
+        and ac_layout == "chunked"
+        and n % cfg.block_size == 0  # a partial tail needs the rem basis
+        and dpk_fuse.decode_eligible(cfg, dtype, tile_b, cw, qtable)
+    ):
+        x = dpk_fuse.decode_fused(
+            width, packed_rows, exc_rows, ac_buf, dc, sf, cfg, cw, qtable
+        )
+        return x[:n]
     bin_ids = idpack.unpack_ids(
         width, packed_rows, exc_rows, nblk, cfg.block_size, tile_b, cw
     )

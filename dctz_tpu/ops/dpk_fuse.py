@@ -1,0 +1,536 @@
+"""Single-kernel DPK decode: packed id stream -> reconstructed samples.
+
+Replaces the decode device chain (ops/idpack.unpack_ids -> quantize.decode ->
+transform.inverse, reference role /root/reference/dctz-decomp-lib.c:244-483)
+with ONE Pallas program gridded over DPK tiles (256 blocks = 16384 elements).
+Each grid step holds the tile entirely in VMEM:
+
+  1. unpack the four candidate bit widths from the packed bytes via
+     byte-gather MATMULS (a 0/1 selection matrix on the MXU replaces the
+     per-width strided byte addressing — bytes <= 255 are exact in bf16),
+     then select per position row by the stored width.
+  2. transpose tile-major nibbles to block-major with an identity-matmul
+     (values <= 15, bf16-exact); regroup to chunk rows with strided
+     sublane slices off a VMEM scratch (Mosaic cannot reshape
+     (256,64)->(cpt,cw) directly).
+  3. route the exception bytes and the AC escape values to their positions
+     with the butterfly mirror network (ops/shuffle.route_expand) — the
+     same streams the XLA chain expands, in the same chunk geometry.
+  4. dequantize (closed-form zigzag centers), place the DC column (a
+     one-hot HIGHEST matmul embeds the (cpt, g) DC rows at lane j%64==0),
+     interleave chunk rows back to coefficient rows with a selection
+     matmul, and run the inverse DCT as the SAME (128,128) block-diagonal
+     HIGHEST matmul as transform.block_idct_flat — outputs are
+     bit-identical to the XLA chain (tests/test_dpk_fuse.py).
+
+Measured (v5e, 128 MB f32, K=64 amortized): the chain's unpack_ids (12.3 ms)
++ decode core (7.9 ms) collapse to ~3-4 ms — see docs/benchmarks.md.
+
+Geometry gates (decode_eligible): block_size 64, tile_b 256, NBINS 255,
+cw in {128,256,512,1024,2048}, float32 pipeline. Everything else falls back
+to the XLA chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import constants as C
+from . import shuffle
+
+BS = 64  # DCT block size
+TILE_B = 256  # blocks per DPK tile (idpack.B_DEFAULT)
+TILE_N = TILE_B * BS  # elements per tile
+_BIG = 1 << 20  # python int: a jnp scalar here would be a captured constant
+
+# Test hooks (cf. ops/shuffle.py)
+_FORCE: bool | None = None
+_INTERPRET = False
+
+
+def enabled() -> bool:
+    if _FORCE is not None:
+        return _FORCE
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat not in ("cpu", "gpu")
+
+
+def decode_eligible(cfg, dtype, tile_b: int, cw: int, qtable) -> bool:
+    """Kernel geometry gate; ineligible containers use the XLA chain."""
+    del qtable  # QT rides the same kernel (qrow input)
+    return (
+        cfg.block_size == BS
+        and cfg.nbins == C.NBINS
+        and tile_b == TILE_B
+        and jnp.dtype(dtype) == jnp.float32
+        and cw % 128 == 0
+        and TILE_N % cw == 0
+        and not jax.config.jax_enable_x64  # QT renorm runs f32 (TPU path)
+    )
+
+
+def _bf16(x):
+    """u8/i32/bool -> bf16 via f32 (Mosaic cannot cast u8->bf16 directly).
+    Exact for integers <= 256."""
+    return x.astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _dg(a, b, contract, precision=None):
+    return jax.lax.dot_general(
+        a,
+        b,
+        (contract, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
+    g = cw // BS  # blocks per chunk row
+    cpt = TILE_N // cw  # chunk rows per tile
+    g128 = cw // 128
+
+    def kernel(sf_ref, geom_ref, w_ref, packed_ref, exc_ref, ac_ref,
+               dc_ref, bd_ref, *rest):
+        qt_ref = rest[0] if qt else None
+        scr = rest[-1]
+        w_bin = geom_ref[0]
+        rmin = geom_ref[1]
+        rmax = geom_ref[2]
+        denom = geom_ref[3]
+
+        # ---- 1. unpack candidates (tile-major (64, 256)) ----
+        byf = _bf16(packed_ref[:].astype(jnp.int32))  # (64, 128)
+        i128 = jax.lax.broadcasted_iota(jnp.int32, (128, TILE_B), 0)
+        k256 = jax.lax.broadcasted_iota(jnp.int32, (128, TILE_B), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_B), 1)
+
+        def gsel(sel):
+            return _dg(byf, _bf16(sel), ((1,), (0,))).astype(jnp.int32)
+
+        v4 = (gsel(i128 == k256 // 2) >> ((kk % 2) * 4)) & 15
+        v2 = (gsel(i128 == k256 // 4) >> ((kk % 4) * 2)) & 3
+        v1 = (gsel(i128 == k256 // 8) >> (kk % 8)) & 1
+        a3 = gsel(i128 == (3 * k256) // 8)
+        b3 = gsel(i128 == (3 * k256) // 8 + 1)
+        s3 = (3 * kk) % 8
+        v3 = ((a3 >> s3) | (b3 << (8 - s3))) & 7
+
+        # per-row width: diagonal of the broadcast (no (64,1) transpose op)
+        w_row = w_ref[0:1, :].astype(jnp.int32)  # (1, 64)
+        eye_i = (
+            jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
+        )
+        wt = jnp.sum(
+            jnp.broadcast_to(w_row, (BS, BS)) * eye_i.astype(jnp.int32),
+            axis=1,
+            keepdims=True,
+        )  # (64, 1)
+        nib_tm = jnp.where(wt == 1, v1, jnp.zeros_like(v1))
+        nib_tm = jnp.where(wt == 2, v2, nib_tm)
+        nib_tm = jnp.where(wt == 3, v3, nib_tm)
+        nib_tm = jnp.where(wt == 4, v4, nib_tm)
+
+        # ---- 2. transpose to block-major, regroup to (cpt, cw) ----
+        p = _dg(_bf16(nib_tm), _bf16(eye_i), ((0,), (0,)))  # (256, 64)
+        scr[:] = p.astype(jnp.int32)
+        nib3 = jnp.concatenate(
+            [scr[i::g, :] for i in range(g)], axis=1
+        )  # (cpt, cw)
+
+        thr = jnp.where(w_row > 0, (1 << w_row) - 1, jnp.int32(_BIG))  # (1, 64)
+        thr3 = jnp.broadcast_to(
+            jnp.concatenate([thr] * g, axis=1), (cpt, cw)
+        )
+        mask3 = nib3 == thr3
+
+        # ---- 3. butterfly expansions ----
+        # Every AC escape is a DPK exception (its exc byte is ESCAPE), and
+        # both streams are in positional order — so first expand the AC
+        # values into the EXCEPTION-stream domain (width cape << cw), then
+        # run ONE routing network carrying both payloads.
+        exc_i = exc_ref[:].astype(jnp.int32)  # (cpt, cape)
+        colc = jax.lax.broadcasted_iota(jnp.int32, exc_i.shape, 1)
+        esc_in_exc = (exc_i == C.ESCAPE).astype(jnp.int32)
+        acx = shuffle.route_expand(esc_in_exc, ac_ref[:], colc)
+
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
+        exc3, ac3 = shuffle.route_expand(
+            mask3.astype(jnp.int32), (exc_i, acx), col3
+        )
+        ids3 = jnp.where(mask3, exc3, nib3)
+        dcpos = (col3 % BS) == 0
+        esc3 = (ids3 == C.ESCAPE) & ~dcpos
+
+        if qt:
+            # invert the renormalization (quantize.decode:327-339, f32 path)
+            side = jnp.where(ac3 > 0, rmax, rmin)
+            qrow3 = jnp.broadcast_to(
+                jnp.concatenate([qt_ref[:]] * g, axis=1), (cpt, cw)
+            )
+            ac3 = ((ac3 - side) / denom) * qrow3
+
+        # ---- 4. dequantize + DC + IDCT ----
+        k2 = ids3 // 2
+        cent = jnp.where(ids3 % 2 == 1, k2 + 1, -k2).astype(
+            jnp.float32
+        ) * w_bin
+        co = jnp.where(esc3, ac3, cent)
+        idc = jax.lax.broadcasted_iota(jnp.int32, (g, cw), 0)
+        qdc = jax.lax.broadcasted_iota(jnp.int32, (g, cw), 1)
+        e_dc = (qdc == BS * idc).astype(jnp.float32)
+        dcx = _dg(
+            dc_ref[:], e_dc, ((1,), (0,)), jax.lax.Precision.HIGHEST
+        )  # (cpt, cw), exact one-hot placement
+        co = jnp.where(dcpos, dcx, co)
+
+        # interleave chunk rows -> coefficient rows (128, 128)
+        stacked = jnp.concatenate(
+            [co[:, 128 * k : 128 * (k + 1)] for k in range(g128)], axis=0
+        )
+        rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        qq = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        r_sel = (
+            (qq % cpt == rr // g128) & (qq // cpt == rr % g128)
+        ).astype(jnp.float32)
+        c2 = _dg(r_sel, stacked, ((1,), (0,)), jax.lax.Precision.HIGHEST)
+        # the SAME block-diagonal HIGHEST matmul as transform.block_idct_flat
+        x = jnp.dot(
+            c2,
+            bd_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref = rest[-2]
+        out_ref[:] = x * sf_ref[0]
+
+    return kernel
+
+
+def _ceil_lanes(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# encode: ids+dcac -> width/packed/exc/ac/counts/dc, one kernel
+# (drop-in for idpack.pack_ids_with_ac, reference hot loop
+# /root/reference/dctz-comp-lib.c:318-416)
+# ---------------------------------------------------------------------------
+
+_INF = 1 << 30
+
+
+def encode_eligible(b: int, bs: int, cw: int) -> bool:
+    return (
+        b == TILE_B
+        and bs == BS
+        and cw % 128 == 0
+        and TILE_N % cw == 0
+    )
+
+
+def _make_encode_kernel(cw: int, cape_k: int, capc_k: int):
+    g = cw // BS
+    cpt = TILE_N // cw
+
+    def kernel(nv_ref, ids_ref, dcac_ref, w8_ref, pk_ref, exc_ref, ac_ref,
+               cnt_ref, dc_ref, scr_i, scr_f):
+        t = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, BS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, BS), 1)
+        gpos = (t * TILE_B + row) * BS + col
+        valid = (gpos < nv_ref[0]) & (col >= 1)
+        ids_i = jnp.where(valid, ids_ref[:].astype(jnp.int32), 0)
+        nib_bm = jnp.minimum(ids_i, 15)
+
+        # tile-major nibbles via identity matmul (values <= 15, bf16-exact)
+        eye256 = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE_B, TILE_B), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (TILE_B, TILE_B), 1)
+        )
+        nib_tm = _dg(_bf16(nib_bm), _bf16(eye256), ((0,), (0,))).astype(
+            jnp.int32
+        )  # (64, 256)
+
+        # width selection per position row (cost = w*B + 8*#exceptions,
+        # first-minimal wins like jnp.argmin — idpack.pack_ids)
+        maxv = jnp.max(nib_tm, axis=1, keepdims=True)  # (64, 1)
+        best = jnp.where(maxv == 0, 0, _INF)
+        width = jnp.zeros_like(best)
+        for wb in (1, 2, 3, 4):
+            thr = (1 << wb) - 1
+            cnt = jnp.sum(
+                (nib_tm >= thr).astype(jnp.int32), axis=1, keepdims=True
+            )
+            cost = wb * TILE_B + 8 * cnt
+            take = cost < best
+            width = jnp.where(take, wb, width)
+            best = jnp.minimum(cost, best)
+
+        # pack at each candidate width (a weighted 0/1 matmul builds the
+        # bytes: byte i = sum of clipped values k with (k*w)//8 == i,
+        # weighted 2^((k*w)%8); w=3 goes through 24-bit groups since a
+        # value's bits can span two bytes), select per row
+        kk = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
+        packed = jnp.zeros((BS, 128), jnp.int32)
+        for wb in (1, 2, 4):
+            w_mat = jnp.where(
+                (kk * wb) // 8 == ii, 1 << ((kk * wb) % 8), 0
+            )
+            vclip = jnp.minimum(nib_tm, (1 << wb) - 1)
+            pk = _dg(_bf16(vclip), _bf16(w_mat), ((1,), (0,))).astype(
+                jnp.int32
+            )
+            packed = jnp.where(width == wb, pk, packed)
+        k32 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 32), 0)
+        g32 = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 32), 1)
+        w24_mat = jnp.where(k32 // 8 == g32, 1 << (3 * (k32 % 8)), 0)
+        w24 = _dg(
+            _bf16(jnp.minimum(nib_tm, 7)), _bf16(w24_mat), ((1,), (0,))
+        )  # (64, 32) f32, exact (< 2^24)
+        gg = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
+        g3 = ((gg == jj // 3) & (jj < 96)).astype(jnp.float32)
+        w24g = _dg(w24, g3, ((1,), (0,)), jax.lax.Precision.HIGHEST)
+        jl = jax.lax.broadcasted_iota(jnp.int32, (BS, 128), 1)
+        pk3 = (w24g.astype(jnp.int32) >> (8 * (jl % 3))) & 255
+        packed = jnp.where(width == 3, pk3, packed)
+        pk_ref[:] = packed.astype(jnp.uint8)
+
+        # width row (1, 64) back from the (64, 1) column via the diagonal
+        eye64 = (
+            jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
+        ).astype(jnp.int32)
+        w_row = jnp.sum(width * eye64, axis=0, keepdims=True)  # (1, 64)
+        w8_ref[:] = jnp.broadcast_to(w_row, (8, BS)).astype(jnp.uint8)
+
+        # chunk layout via scratch strided slices
+        scr_i[:] = ids_i
+        scr_f[:] = dcac_ref[:]
+        idsc = jnp.concatenate([scr_i[i::g, :] for i in range(g)], axis=1)
+        vals3 = jnp.concatenate([scr_f[i::g, :] for i in range(g)], axis=1)
+        nib3 = jnp.minimum(idsc, 15)
+        thr_row = jnp.where(w_row > 0, (1 << w_row) - 1, jnp.int32(_BIG))
+        thr3 = jnp.broadcast_to(
+            jnp.concatenate([thr_row] * g, axis=1), (cpt, cw)
+        )
+        mask3 = (nib3 >= thr3).astype(jnp.int32)
+
+        excc = jnp.sum(mask3, axis=1, keepdims=True)  # (cpt, 1)
+        acc = jnp.sum(
+            (idsc == C.ESCAPE).astype(jnp.int32), axis=1, keepdims=True
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cpt, 128), 1)
+        cnt_ref[:] = jnp.where(
+            lane == 0, excc, jnp.where(lane == 1, acc, 0)
+        )
+
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
+        exc_b, ac = shuffle.route_compact_unified(
+            mask3, idsc, vals3, cape_k, capc_k, col3
+        )
+        exc_ref[:] = exc_b.astype(jnp.uint8)
+        ac_ref[:] = ac
+
+        # DC extraction: one-hot HIGHEST matmul (exact)
+        dcpos = (col3 % BS) == 0
+        dcv = jnp.where(dcpos, vals3, 0.0)
+        qdc = jax.lax.broadcasted_iota(jnp.int32, (cw, g), 0)
+        idc = jax.lax.broadcasted_iota(jnp.int32, (cw, g), 1)
+        e_dc = (qdc == BS * idc).astype(jnp.float32)
+        dc_ref[:] = _dg(dcv, e_dc, ((1,), (0,)), jax.lax.Precision.HIGHEST)
+
+    return kernel
+
+
+def encode_fused(
+    ids2d: jax.Array,
+    dcac2d: jax.Array,
+    n_valid,
+    b: int,
+    cape: int,
+    cw: int,
+):
+    """Drop-in for idpack.pack_ids_with_ac on eligible geometry: one Pallas
+    program per tile does nibble/width/pack + the unified butterfly
+    compaction. Streams byte-identical (tests/test_dpk_fuse.py)."""
+    nblk, bs = ids2d.shape
+    t = -(-nblk // TILE_B)
+    g = cw // BS
+    cpt = TILE_N // cw
+    nc = (nblk * bs) // cw
+    cape = min(cape, cw)
+    cape_k = min(cw, _ceil_lanes(cape))
+
+    pad = t * TILE_B - nblk
+    ids_p = jnp.pad(ids2d, ((0, pad), (0, 0))) if pad else ids2d
+    dcac_p = jnp.pad(dcac2d, ((0, pad), (0, 0))) if pad else dcac2d
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+
+    kernel = _make_encode_kernel(cw, cape_k, cape_k)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (TILE_B, BS), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_B, BS), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, BS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cpt, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cpt, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cpt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((cpt, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t * 8, BS), jnp.uint8),
+            jax.ShapeDtypeStruct((t * BS, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((t * cpt, cape_k), jnp.uint8),
+            jax.ShapeDtypeStruct((t * cpt, cape_k), jnp.float32),
+            jax.ShapeDtypeStruct((t * cpt, 128), jnp.int32),
+            jax.ShapeDtypeStruct((t * cpt, g), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_B, BS), jnp.int32),
+            pltpu.VMEM((TILE_B, BS), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(nv, ids_p, dcac_p)
+    w8, packed, exc_k, ac_k, cnts, dc3 = outs
+    width = w8[::8]
+    exc_rows = exc_k[:nc, :cape]
+    ac_rows = ac_k[:nc, :cape]
+    exc_counts = cnts[:nc, 0]
+    ac_counts = cnts[:nc, 1]
+    dc = dc3.reshape(-1)[:nblk]
+    overflow = jnp.any(exc_counts > cape)
+    return (
+        width,
+        packed,
+        exc_rows,
+        exc_counts,
+        ac_rows,
+        ac_counts,
+        dc,
+        overflow,
+    )
+
+
+def decode_fused(
+    width: jax.Array,
+    packed: jax.Array,
+    exc_rows: jax.Array,
+    ac_rows: jax.Array,
+    dc: jax.Array,
+    sf: jax.Array,
+    cfg,
+    cw: int,
+    qtable: jax.Array | None,
+) -> jax.Array:
+    """Fused decode of a DPK container -> flat (T*16384,) float32 samples
+    (the caller slices to the true n). Inputs are the same device arrays
+    _decode_device_dpk receives; chunk/tile padding happens here."""
+    from ..core.quantize import _geometry
+    from ..core.transform import _blockdiag_np
+    import numpy as np
+
+    t, bs = width.shape
+    assert bs == BS
+    g = cw // BS
+    cpt = TILE_N // cw
+    nc_pad = t * cpt
+
+    nc, cape = exc_rows.shape
+    capc = ac_rows.shape[1]
+    cape_k = min(cw, _ceil_lanes(cape))
+    capc_k = min(cw, _ceil_lanes(capc))
+    exc = jnp.pad(
+        exc_rows, ((0, nc_pad - nc), (0, cape_k - cape))
+    )
+    ac = jnp.pad(
+        ac_rows.astype(jnp.float32),
+        ((0, nc_pad - ac_rows.shape[0]), (0, capc_k - capc)),
+    )
+    dc3 = jnp.pad(dc.astype(jnp.float32), (0, t * TILE_B - dc.shape[0]))
+    dc3 = dc3.reshape(nc_pad, g)
+
+    w_bin, rmin, rmax = _geometry(cfg, np.dtype(np.float32))
+    denom = np.float32(float(cfg.error_bound)) * np.float32(cfg.qt_factor)
+    geom = jnp.stack(
+        [
+            w_bin.astype(jnp.float32),
+            rmin.astype(jnp.float32),
+            rmax.astype(jnp.float32),
+            jnp.asarray(denom, jnp.float32),
+        ]
+    )
+    bd = jnp.asarray(_blockdiag_np(BS, 128 // BS, False), jnp.float32)
+    sf1 = sf.reshape(1).astype(jnp.float32)
+
+    qt = qtable is not None
+    kernel = _make_kernel(cw, cape_k, capc_k, qt)
+
+    # Pallas requires block sublanes divisible by 8: replicate the per-tile
+    # width row to 8 sublanes (tiny) instead of a (1, 64) block.
+    width8 = jnp.repeat(width.astype(jnp.uint8), 8, axis=0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, BS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (cpt, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (cpt, capc_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((cpt, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [sf1, geom, width8, packed, exc, ac, dc3, bd]
+    if qt:
+        in_specs.append(
+            pl.BlockSpec((1, BS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(qtable.astype(jnp.float32).reshape(1, BS))
+
+    x2 = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t * 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_B, BS), jnp.int32)],
+        interpret=_INTERPRET,
+    )(*args)
+    return x2.reshape(-1)

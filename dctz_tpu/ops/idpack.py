@@ -223,9 +223,18 @@ def pack_ids_with_ac(
     pack_ids + compaction.compact_chunked (tests/test_idpack.py).
     """
     from ..core.quantize import chunk_width
+    from . import dpk_fuse
 
     nblk, bs = ids2d.shape
     t = tiles_of(nblk, b)
+
+    cw0 = chunk_width(nblk * bs, bs)
+    if dpk_fuse.enabled() and dpk_fuse.encode_eligible(b, bs, cw0):
+        # one Pallas program per tile: nibble/width/pack + the unified
+        # butterfly compaction, byte-identical streams (ops/dpk_fuse.py)
+        return dpk_fuse.encode_fused(
+            ids2d, dcac2d, n_valid, b, min(cape, cw0), cw0
+        )
 
     row = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (nblk, bs), 1)

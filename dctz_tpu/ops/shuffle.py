@@ -110,19 +110,16 @@ def _cumsum(m_i32, col, cw):
 # ---------------------------------------------------------------------------
 
 
-def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
-    """One pass of pack_ids_with_ac's data movement: compact (id byte,
-    value) by the exception mask, then tighten the values whose compacted
-    byte is ESCAPE into the AC rows."""
-    cw = mask_ref.shape[1]
-    cape = exc_ref.shape[1]
-    capc = ac_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, mask_ref.shape, 1)
-    m = mask_ref[:].astype(jnp.int32)
-    cum = _cumsum(m, col, cw)
+def route_compact_unified(m_i32, idb_i32, vals, cape: int, capc: int, col):
+    """Unified compact network on ARRAYS (shared by _k_compact_unified and
+    ops/dpk_fuse.encode_fused): compact (id byte, value) by the exception
+    mask, then tighten the values whose compacted byte is ESCAPE into the
+    AC rows. Returns (exc_bytes (R, cape) i32, ac (R, capc) f32)."""
+    cw = m_i32.shape[1]
+    cum = _cumsum(m_i32, col, cw)
     d = col - (cum - 1)
-    comb = jnp.where(m != 0, (d << 8) | idb_ref[:].astype(jnp.int32), -1)
-    vv = val_ref[:]
+    comb = jnp.where(m_i32 != 0, (d << 8) | idb_i32, -1)
+    vv = vals
     k = 8
     s = 1
     while s < cw:
@@ -136,7 +133,6 @@ def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
     live = comb >= 0
     kv = live & (col < cape)
     exc_b = jnp.where(kv, comb & 255, 0)
-    exc_ref[:] = exc_b[:, :cape].astype(jnp.uint8)
     uv = jnp.where(kv, vv, 0.0)
 
     # tighten: AC escapes out of the union prefix (distances < cape)
@@ -153,7 +149,25 @@ def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
         comb2 = jnp.where(tk, cs, jnp.where(mv, -1, comb2))
         k += 1
         s *= 2
-    ac_ref[:] = jnp.where(comb2[:, :capc] >= 0, uv[:, :capc], 0.0)
+    ac = jnp.where(comb2[:, :capc] >= 0, uv[:, :capc], 0.0)
+    return exc_b[:, :cape], ac
+
+
+def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
+    """Pallas wrapper around route_compact_unified (see there)."""
+    cape = exc_ref.shape[1]
+    capc = ac_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, mask_ref.shape, 1)
+    exc_b, ac = route_compact_unified(
+        mask_ref[:].astype(jnp.int32),
+        idb_ref[:].astype(jnp.int32),
+        val_ref[:],
+        cape,
+        capc,
+        col,
+    )
+    exc_ref[:] = exc_b.astype(jnp.uint8)
+    ac_ref[:] = ac
 
 
 def _k_compact_bytes(mask_ref, byt_ref, out_ref):
@@ -201,19 +215,22 @@ def _k_compact_f32(mask_ref, val_ref, out_ref):
     out_ref[:] = jnp.where(kv, vv, 0.0)[:, :capc]
 
 
-def _k_expand(mask_ref, rows_ref, out_ref):
-    """Mirror network: rows[r] lands at each row's r-th masked position.
+def route_expand(mask_i32, rows, col):
+    """Mirror network on ARRAYS: rows[r] lands at each row's r-th masked
+    position (0 elsewhere). Shared by _k_expand and the fused DPK kernels
+    (ops/dpk_fuse.py). `rows` may be one array or a tuple (the network cost
+    is per-MASK; extra payloads only add one roll per stage each).
 
     Phase 1 compacts the destination distances to their slots (the forward
     network on the control word alone); phase 2 routes values right,
-    MSB-first. Requires per-row counts <= capc (capacity tiering upholds
-    this — api._dpk_decode_prep / decompress pad rows to the peak tier)."""
-    cw = mask_ref.shape[1]
-    capc = rows_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, mask_ref.shape, 1)
-    m = mask_ref[:].astype(jnp.int32)
-    cum = _cumsum(m, col, cw)
-    comb = jnp.where(m != 0, col - (cum - 1), -1)
+    MSB-first. Requires per-row counts <= rows.shape[1] (capacity tiering
+    upholds this — api._dpk_decode_prep / decompress pad rows to the peak
+    tier)."""
+    single = not isinstance(rows, (tuple, list))
+    vs = (rows,) if single else tuple(rows)
+    cw = mask_i32.shape[1]
+    cum = _cumsum(mask_i32, col, cw)
+    comb = jnp.where(mask_i32 != 0, col - (cum - 1), -1)
     k = 0
     s = 1
     while s < cw:
@@ -223,18 +240,32 @@ def _k_expand(mask_ref, rows_ref, out_ref):
         comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
         k += 1
         s *= 2
-    v = rows_ref[:]
-    if capc < cw:
-        v = jnp.pad(v, ((0, 0), (0, cw - capc)))
+    vs = tuple(
+        jnp.pad(v, ((0, 0), (0, cw - v.shape[1])))
+        if v.shape[1] < cw
+        else v
+        for v in vs
+    )
     stages = (cw - 1).bit_length()
     for k in reversed(range(stages)):
         s = 1 << k
         mv = (comb >= 0) & (((comb >> k) & 1) == 1)
         cs = _shr(comb, s, col, -1)
         tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        v = jnp.where(tk, _shr(v, s, col, 0), v)
+        vs = tuple(jnp.where(tk, _shr(v, s, col, 0), v) for v in vs)
         comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
-    out_ref[:] = jnp.where(mask_ref[:] != 0, v, jnp.zeros_like(v))
+    out = tuple(
+        jnp.where(mask_i32 != 0, v, jnp.zeros_like(v)) for v in vs
+    )
+    return out[0] if single else out
+
+
+def _k_expand(mask_ref, rows_ref, out_ref):
+    """Pallas wrapper around route_expand (see there)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, mask_ref.shape, 1)
+    out_ref[:] = route_expand(
+        mask_ref[:].astype(jnp.int32), rows_ref[:], col
+    )
 
 
 # ---------------------------------------------------------------------------

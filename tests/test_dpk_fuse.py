@@ -1,0 +1,178 @@
+"""Fused DPK kernels (ops/dpk_fuse.py): bit-identical containers and
+decoded samples vs the XLA chains, across geometries, QT, padding tiles.
+
+Interpret mode on the CPU backend; jit caches are cleared between dispatch
+arms (_FORCE is not part of the jit key)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dctz_tpu import api
+from dctz_tpu.config import CodecConfig
+from dctz_tpu.core import constants as C
+from dctz_tpu.core.quantize import chunk_width
+from dctz_tpu.ops import compaction as cp
+from dctz_tpu.ops import dpk_fuse, idpack
+
+
+@pytest.fixture
+def interp():
+    dpk_fuse._FORCE, dpk_fuse._INTERPRET = True, True
+    yield
+    dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
+    idpack.pack_ids_with_ac.clear_cache()
+    api._decode_device_dpk.clear_cache()
+
+
+@pytest.fixture
+def f32_mode():
+    """The fused decode mirrors the TPU f32 path (x64 off)."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    yield
+    jax.config.update("jax_enable_x64", old)
+
+
+def _stream(rng, nblk, bs=64, esc_p=0.02):
+    mag = rng.geometric(p=0.4, size=(nblk, bs)).astype(np.int64) - 1
+    decay = np.maximum(1, np.arange(bs) // 4)
+    ids = np.minimum(mag * 8 // decay[None, :], 254)
+    ids = np.where(rng.random((nblk, bs)) < esc_p, C.ESCAPE, ids)
+    ids[:, 0] = C.ESCAPE
+    vals = rng.standard_normal((nblk, bs)).astype(np.float32)
+    return ids.astype(np.uint8), vals
+
+
+NAMES = ["width", "packed", "exc_rows", "exc_counts", "ac", "acc", "dc", "ovf"]
+
+
+@pytest.mark.parametrize("nblk", [256, 4096, 4096 + 128])
+def test_encode_fused_streams_identical(interp, nblk):
+    rng = np.random.default_rng(nblk)
+    ids, vals = _stream(rng, nblk)
+    nv = nblk * 64 - 7
+    outs = {}
+    for force in (True, False):
+        dpk_fuse._FORCE = force
+        idpack.pack_ids_with_ac.clear_cache()
+        res = idpack.pack_ids_with_ac(
+            jnp.asarray(ids), jnp.asarray(vals), nv, 256, 256
+        )
+        outs[force] = [np.asarray(x) for x in res]
+    for a, b, nm in zip(outs[True], outs[False], NAMES):
+        assert np.array_equal(a, b), nm
+
+
+def test_encode_fused_overflow_flag(interp):
+    """Dense escapes overflow the capacity identically in both arms."""
+    rng = np.random.default_rng(0)
+    ids, vals = _stream(rng, 512, esc_p=0.9)
+    flags = {}
+    for force in (True, False):
+        dpk_fuse._FORCE = force
+        idpack.pack_ids_with_ac.clear_cache()
+        res = idpack.pack_ids_with_ac(
+            jnp.asarray(ids), jnp.asarray(vals), 512 * 64, 256, 32
+        )
+        flags[force] = (bool(res[7]), np.asarray(res[3]))
+    assert flags[True][0] and flags[False][0]
+    assert np.array_equal(flags[True][1], flags[False][1])
+
+
+def _container_arrays(rng, nblk, esc_p=0.02, cape=128, n=None):
+    """Encoder-consistent device arrays: ids beyond n are coded as 0 and
+    excluded from the AC stream, exactly like api._compress_fused."""
+    ids, vals = _stream(rng, nblk, esc_p=esc_p)
+    n_pad = nblk * 64
+    n = n_pad if n is None else n
+    cw = chunk_width(n_pad, 64)
+    w, packed, exc_rows, exc_counts, ovf = idpack.pack_ids(
+        jnp.asarray(ids), n, 256, cape
+    )
+    assert not bool(ovf)
+    pos = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0) * 64
+    pos = pos + jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
+    esc = (
+        (jnp.asarray(ids) == C.ESCAPE)
+        & (jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1) >= 1)
+        & (pos < n)
+    )
+    ac_rows, _, ovf2 = cp.compact_chunked(
+        esc.reshape(-1), jnp.asarray(vals).reshape(-1), cw, min(cape, cw)
+    )
+    assert not bool(ovf2)
+    dc = jnp.asarray(vals[:, 0])
+    return (w, packed, exc_rows, ac_rows, dc), n, cw
+
+
+@pytest.mark.parametrize("nblk", [256, 4096])
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_decode_fused_bit_identical(interp, f32_mode, nblk, mode):
+    rng = np.random.default_rng(nblk + (0 if mode == "ec" else 1))
+    (w, packed, exc_rows, ac_rows, dc), n, cw = _container_arrays(rng, nblk)
+    sf = jnp.float32(2.5)
+    cfg = api._device_cfg(CodecConfig(mode=mode, error_bound=1e-3))
+    qt = (
+        jnp.asarray(rng.uniform(1.0, 50.0, 64).astype(np.float32))
+        if mode == "qt"
+        else None
+    )
+    res = {}
+    for force in (True, False):
+        dpk_fuse._FORCE = force
+        api._decode_device_dpk.clear_cache()
+        x = api._decode_device_dpk(
+            w, packed, exc_rows, dc, ac_rows, n, cfg,
+            "float32", "chunked", 256, cw, sf, qt,
+        )
+        res[force] = np.asarray(x)
+    assert res[True].shape == res[False].shape
+    assert np.array_equal(res[True], res[False])
+
+
+def test_decode_fused_partial_tail(interp, f32_mode):
+    """n cutting into the last block: the kernel gate must fall back to the
+    XLA chain (the partial tail needs the rem-point basis), so both arms
+    agree bit-for-bit."""
+    rng = np.random.default_rng(5)
+    (w, packed, exc_rows, ac_rows, dc), n, cw = _container_arrays(
+        rng, 300, cape=1 << 20,  # cape clamped to cw
+        n=300 * 64 - 13,
+    )
+    cfg = api._device_cfg(CodecConfig(mode="ec", error_bound=1e-3))
+    res = {}
+    for force in (True, False):
+        dpk_fuse._FORCE = force
+        api._decode_device_dpk.clear_cache()
+        x = api._decode_device_dpk(
+            w, packed, exc_rows, dc, ac_rows, n, cfg,
+            "float32", "chunked", 256, cw, jnp.float32(1.0), None,
+        )
+        res[force] = np.asarray(x)
+    assert np.array_equal(res[True], res[False])
+
+
+def test_roundtrip_public_api(interp, f32_mode):
+    """compress/decompress through the public API with the fused kernels
+    forced on: container identical, decode bound holds."""
+    rng = np.random.default_rng(11)
+    arr = (
+        np.sin(np.arange(1 << 16, dtype=np.float32) * 0.01) * 20
+        + rng.standard_normal(1 << 16).astype(np.float32) * 0.05
+    )
+    import dctz_tpu
+
+    cfg = CodecConfig(error_bound=1e-3, container="v2", ids_codec="device")
+    dpk_fuse._FORCE = False
+    blob_ref = dctz_tpu.compress(arr, config=cfg)
+    dpk_fuse._FORCE = True
+    idpack.pack_ids_with_ac.clear_cache()
+    api._decode_device_dpk.clear_cache()
+    blob = dctz_tpu.compress(arr, config=cfg)
+    assert blob == blob_ref
+    rec = dctz_tpu.decompress(blob)
+    rng_span = arr.max() - arr.min()
+    assert np.abs(rec - arr).max() <= 1e-3 * rng_span + 1e-9

@@ -122,6 +122,8 @@ def test_pack_ids_with_ac_gate_bit_identical(interp):
     outs = {}
     for force in (True, False):
         shuffle._FORCE = force
+        # _FORCE is not part of the jit cache key — clear between arms
+        idpack.pack_ids_with_ac.clear_cache()
         res = idpack.pack_ids_with_ac(
             jnp.asarray(ids), jnp.asarray(vals), nblk * bs - 7, b, 256
         )

@@ -261,9 +261,36 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             if cfg.mode == "qt"
             else fe.fused_encode_pipeline
         )
-        from .ops import idpack
+        from .ops import dpk_fuse, idpack
 
-        if not cfg.verify and dpk:
+        ec_x_kernel = (
+            dpk
+            and cfg.mode == "ec"
+            and dpk_fuse.enabled()
+            and dpk_fuse.encode_eligible(
+                idpack.B_DEFAULT, cfg.block_size,
+                chunk_width(n_pad, cfg.block_size),
+            )
+        )
+        if ec_x_kernel:
+            # ONE Pallas program for the whole EC encode — including the
+            # verify-repair passes when cfg.verify (the guaranteed-bound
+            # mode costs three extra in-VMEM IDCT matmuls, not extra HBM
+            # passes; ops/dpk_fuse.encode_x_fused)
+            uout = fe.fused_encode_pipeline_dpk_ec(
+                arr, sf, cfg.error_bound, idpack.CAPE, n, cfg.verify
+            )
+            if bool(jax.device_get(uout[7])):
+                # exception-capacity overflow: retry at full chunk width
+                uout = fe.fused_encode_pipeline_dpk_ec(
+                    arr, sf, cfg.error_bound,
+                    chunk_width(n_pad, cfg.block_size), n, cfg.verify,
+                )
+            pk = uout[:4]
+            ac_chunks, counts, dc = uout[4], uout[5], uout[6]
+            qtable_dev = None
+            bound_ok = uout[8] if cfg.verify else None
+        elif not cfg.verify and dpk:
             # single-program encode: kernel + ONE shared chunk sort for the
             # AC and exception streams (fused_encode_pipeline_dpk) — one
             # overflow flag, one readback (each device_get costs a full

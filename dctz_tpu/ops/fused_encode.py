@@ -375,6 +375,38 @@ def fused_encode_pipeline_dpk(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def fused_encode_pipeline_dpk_ec(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    cape: int,
+    n_true: int,
+    verify: bool,
+):
+    """Single-kernel EC DPK encode (ops/dpk_fuse.encode_x_fused): DCT +
+    quantize + optional in-kernel verify-repair + pack/compact in ONE
+    Pallas program. Streams byte-identical to fused_encode_pipeline_dpk
+    (verify=False) / pipeline+_repair_fused+pack (verify=True); the extra
+    `ok` output is the verified-bound flag.
+
+    Returns (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
+    overflow, ok)."""
+    from ..core.quantize import chunk_width
+    from ..ops.repair import _SLACK
+    from . import dpk_fuse
+
+    n_pad = x.shape[0]
+    cw = chunk_width(n_pad, BS)
+    flat_pos = jnp.arange(n_pad)
+    xv_max = jnp.max(jnp.where(flat_pos < n_true, x, -jnp.inf))
+    xv_min = jnp.min(jnp.where(flat_pos < n_true, x, jnp.inf))
+    tol = (xv_max - xv_min) * jnp.asarray(error_bound, x.dtype) * _SLACK
+    return dpk_fuse.encode_x_fused(
+        x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fused_encode_pipeline_dpk_qt(
     x: jax.Array,

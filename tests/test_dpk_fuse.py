@@ -155,6 +155,38 @@ def test_decode_fused_partial_tail(interp, f32_mode):
     assert np.array_equal(res[True], res[False])
 
 
+def test_verified_encode_streams_identical(interp, f32_mode):
+    """The in-kernel verify-repair (encode_x_fused) produces byte-identical
+    containers to the XLA pipeline+repair path, with repair genuinely
+    active (sedov is the canonical pointwise-bound violator)."""
+    import dctz_tpu
+    from dctz_tpu.eval.datasets import SUITES
+    from dctz_tpu.ops import fused_encode as fe
+
+    x = next(d for d in SUITES["msst19"] if d.name == "sedov").load()
+    x = x.astype(np.float32)
+    cfg_v = CodecConfig(
+        mode="ec", error_bound=1e-3, container="v2",
+        ids_codec="device", verify=True,
+    )
+    blobs = {}
+    for force in (False, True):
+        dpk_fuse._FORCE = force
+        dpk_fuse._INTERPRET = force
+        idpack.pack_ids_with_ac.clear_cache()
+        fe.fused_encode_pipeline_dpk.clear_cache()
+        fe.fused_encode_pipeline_dpk_ec.clear_cache()
+        blobs[force] = dctz_tpu.compress(x, config=cfg_v)
+    assert blobs[True] == blobs[False]
+    # repair must actually fire on this data (bound violated unverified)
+    cfg_n = CodecConfig(
+        mode="ec", error_bound=1e-3, container="v2", ids_codec="device"
+    )
+    assert blobs[True] != dctz_tpu.compress(x, config=cfg_n)
+    y = dctz_tpu.decompress(blobs[True])
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+
 def test_roundtrip_public_api(interp, f32_mode):
     """compress/decompress through the public API with the fused kernels
     forced on: container identical, decode bound holds."""

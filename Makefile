@@ -26,3 +26,6 @@ clean:
 	rm -rf .pytest_cache dctz_tpu/__pycache__
 
 .PHONY: all native test bench eval asan clean
+
+sync-bench:  ## regenerate the doc headline blocks from the latest BENCH_r*.json
+	python -m dctz_tpu.tools.sync_bench

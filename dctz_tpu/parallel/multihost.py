@@ -314,3 +314,100 @@ def _mh_device_cfg(cfg: CodecConfig) -> CodecConfig:
     from ..api import _device_cfg
 
     return _device_cfg(cfg)
+
+
+# ---------------------------------------------------------------------------
+# distributed restore
+# ---------------------------------------------------------------------------
+
+
+class LocalRestore(tuple):
+    """(data, start, frames): this host's reconstructed slice, its global
+    element offset, and the indices of the stream frames it decoded."""
+
+    __slots__ = ()
+
+    def __new__(cls, data, start, frames):
+        return tuple.__new__(cls, (data, start, frames))
+
+    data = property(lambda self: self[0])
+    start = property(lambda self: self[1])
+    frames = property(lambda self: self[2])
+
+
+def _scan_frames(data: memoryview):
+    """DTZS layout scan without decoding: returns (n_total, [(off, len,
+    n_elements, block_size, dpk), ...]). Each frame is a v2 container whose
+    fixed header carries its element count."""
+    from .. import stream as dstream
+
+    magic, version, _res, n_total = dstream._HDR.unpack_from(data, 0)
+    if magic != dstream.MAGIC:
+        raise ValueError("not a DCTZ-TPU stream")
+    if version != 1:
+        raise ValueError(f"unsupported stream version {version}")
+    frames = []
+    off = dstream._HDR.size
+    while True:
+        (length,) = dstream._FRAME.unpack_from(data, off)
+        off += dstream._FRAME.size
+        if length == 0:
+            break
+        import struct
+
+        (fmagic, _v, flags, n, _eb, _sf, _mean, _acc, _nb, bs, _r, _cb) = (
+            struct.unpack_from(ct._V2_FIXED_FMT, data, off)
+        )
+        if fmagic != ct.V2_MAGIC:
+            raise ValueError("DTZS frame is not a v2 container")
+        frames.append((off, length, n, bs, bool(flags & ct._FLAG_DPK)))
+        off += length
+    return n_total, frames
+
+
+def decompress_multihost(stream: bytes | memoryview) -> LocalRestore:
+    """Inverse of compress_multihost: restore THIS HOST's slice of a DTZS
+    stream. Each host scans the frame table (headers only), computes its
+    host_slice, and decodes ONLY the frames overlapping it — no host
+    touches another host's frame data when the restoring process count
+    matches the writer's (frames are per-host and slice-aligned); with a
+    different process count, overlapping frames are decoded and sliced.
+
+    Single-process runs restore the whole array (start == 0). The reference
+    has no distributed capability; this closes the save->restore loop of
+    the checkpoint story at the same scale as compress_multihost.
+    """
+    from ..api import decompress
+    from ..ops import idpack
+
+    data = memoryview(stream)
+    n_total, frames = _scan_frames(data)
+    if not frames:
+        return LocalRestore(np.zeros((0,), np.float32), 0, ())
+
+    bs = frames[0][3]
+    quantum = idpack.B_DEFAULT if frames[0][4] else 1
+    if jax.process_count() == 1:
+        lo, hi = 0, n_total
+    else:
+        lo, hi = host_slice(n_total, bs, quantum)
+    hi = min(hi, n_total)
+
+    pieces: list[np.ndarray] = []
+    used: list[int] = []
+    span_lo = 0
+    for k, (off, length, n_frame, _bs, _dpk) in enumerate(frames):
+        span_hi = span_lo + n_frame
+        if span_hi > lo and span_lo < hi:
+            seg = decompress(bytes(data[off : off + length]))
+            a = max(lo, span_lo) - span_lo
+            b = min(hi, span_hi) - span_lo
+            pieces.append(seg[a:b])
+            used.append(k)
+        span_lo = span_hi
+        if span_lo >= hi:
+            break
+    if not pieces:  # all-padding host: nothing real in its slice
+        return LocalRestore(np.zeros((0,), np.float32), lo, ())
+    local = np.concatenate(pieces) if len(pieces) != 1 else pieces[0]
+    return LocalRestore(local, lo, tuple(used))

@@ -37,6 +37,7 @@ def make_data(n: int) -> np.ndarray:
 def main() -> None:
     coordinator, nproc, pid, n_total, mode, out_path = sys.argv[1:7]
     ids_codec = sys.argv[7] if len(sys.argv) > 7 else "auto"
+    stream_path = sys.argv[8] if len(sys.argv) > 8 else None
     nproc, pid, n_total = int(nproc), int(pid), int(n_total)
 
     jax.distributed.initialize(
@@ -48,6 +49,19 @@ def main() -> None:
     from dctz_tpu.config import CodecConfig
     from dctz_tpu.ops import idpack
     from dctz_tpu.parallel import multihost as mh
+
+    if mode == "restore":
+        # distributed restore: decode ONLY this host's frames of the stream
+        res = mh.decompress_multihost(
+            pathlib.Path(stream_path).read_bytes()
+        )
+        np.savez(
+            out_path,
+            data=res.data,
+            start=res.start,
+            frames=np.asarray(res.frames, np.int64),
+        )
+        return
 
     quantum = idpack.B_DEFAULT if ids_codec == "device" else 1
     lo, hi = mh.host_slice(n_total, quantum_blocks=quantum)

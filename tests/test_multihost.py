@@ -96,3 +96,81 @@ def test_multiprocess_two_hosts(tmp_path, mode, codec):
     x = wmod.make_data(n_total)
     assert y.shape == x.shape
     assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+
+def test_decompress_multihost_single_process():
+    """Single-process restore returns the whole array with start 0."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(64 * 150 + 9) * 7
+    blob = mh.compress_multihost(x, x.size, 1e-3, "ec")
+    res = mh.decompress_multihost(blob)
+    assert res.start == 0
+    assert res.data.shape == x.shape
+    assert dctz_tpu.evaluate(x, res.data, 1e-3)["bound_satisfied"]
+
+
+def test_multiprocess_save_restore_roundtrip(tmp_path):
+    """Save on 2 jax.distributed processes, then RESTORE on 2 fresh
+    processes: each restoring host decodes exactly ONE frame (its own) and
+    the slices reassemble to the bound-satisfying array."""
+    worker = pathlib.Path(__file__).parent / "_mh_worker.py"
+    # big enough that BOTH hosts hold real data after 256-block tile
+    # padding (per-host slice is 65536 elements here)
+    n_total = 64 * 1200 + 7
+    parts = []
+    for phase, extra in (("ec", None), ("restore", None)):
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = []
+        outs = []
+        for pid in range(2):
+            if phase == "restore":
+                out = tmp_path / f"restore{pid}.npz"
+                argv = [
+                    sys.executable, str(worker), coordinator, "2", str(pid),
+                    str(n_total), "restore", str(out), "device",
+                    str(tmp_path / "stream.bin"),
+                ]
+            else:
+                out = tmp_path / f"part{pid}.bin"
+                argv = [
+                    sys.executable, str(worker), coordinator, "2", str(pid),
+                    str(n_total), "ec", str(out), "device",
+                ]
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+                )
+            )
+        for p in procs:
+            try:
+                _, err = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, err.decode()[-2000:]
+        if phase == "ec":
+            stream = b"".join(o.read_bytes() for o in outs)
+            (tmp_path / "stream.bin").write_bytes(stream)
+        else:
+            parts = [np.load(o) for o in outs]
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_mh_worker", worker)
+    wmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wmod)
+    x = wmod.make_data(n_total)
+
+    full = np.zeros(n_total, np.float64)
+    seen_frames = []
+    for pz in parts:
+        start = int(pz["start"])
+        data = pz["data"]
+        full[start : start + data.size] = data[: max(0, n_total - start)]
+        seen_frames.append(tuple(pz["frames"].tolist()))
+    # each host decoded exactly its own single frame, disjointly
+    assert all(len(f) == 1 for f in seen_frames), seen_frames
+    assert len(set(seen_frames)) == len(seen_frames)
+    assert dctz_tpu.evaluate(x, full, 1e-3)["bound_satisfied"]

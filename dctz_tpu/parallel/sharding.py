@@ -150,6 +150,77 @@ def encode_sharded(
     """
     qt = cfg.mode == "qt"
 
+    from ..ops import dpk_fuse, idpack
+
+    shard_elems = x_padded.shape[0] // mesh.devices.size
+    use_fused = (
+        dpk
+        and not qt
+        and compaction == "chunked"
+        and x_padded.dtype == jnp.float32
+        and dpk_fuse.enabled()
+        and dpk_fuse.encode_eligible(
+            idpack.B_DEFAULT,
+            cfg.block_size,
+            qz.chunk_width(shard_elems, cfg.block_size),
+        )
+    )
+
+    def body_fused(x_local):
+        """Per-shard single-kernel encode (ops/dpk_fuse.encode_x_fused) —
+        streams byte-identical to the XLA body below; the only cross-chip
+        traffic stays the scalar sf/mean/tol/ok collectives."""
+        from ..core.stats import scaling_factor
+
+        n_local = x_local.shape[0]
+        amax = jax.lax.pmax(jnp.max(jnp.abs(x_local)), AXIS)
+        total = jax.lax.psum(jnp.sum(x_local, dtype=x_local.dtype), AXIS)
+        mean = total / jnp.asarray(n_real, x_local.dtype)
+        sf = scaling_factor(amax, cfg.sf_adj)
+        idx = jax.lax.axis_index(AXIS)
+        if cfg.verify:
+            from ..ops import repair
+
+            gpos = idx * n_local + jnp.arange(n_local)
+            real = gpos < n_real
+            vmax = jax.lax.pmax(
+                jnp.max(jnp.where(real, x_local, -jnp.inf)), AXIS
+            )
+            vmin = jax.lax.pmin(
+                jnp.min(jnp.where(real, x_local, jnp.inf)), AXIS
+            )
+            tol = (
+                (vmax - vmin)
+                * jnp.asarray(cfg.error_bound, x_local.dtype)
+                * repair._SLACK
+            )
+            nv_local = jnp.clip(n_real - idx * n_local, 0, n_local)
+        else:
+            tol = jnp.float32(0)
+            nv_local = jnp.asarray(n_local)
+        cw = qz.chunk_width(n_local, cfg.block_size)
+        (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
+         ovf, ok) = dpk_fuse.encode_x_fused(
+            x_local, sf, tol, nv_local, cfg.error_bound,
+            min(cape or idpack.CAPE, cw), cw, cfg.verify,
+        )
+        ovf = jax.lax.pmax(ovf.astype(jnp.int32), AXIS)
+        ok = (
+            jax.lax.pmin(ok.astype(jnp.int32), AXIS).astype(jnp.bool_)
+            if cfg.verify
+            else jnp.bool_(True)
+        )
+        # bin_ids is part of the contract but unused for DPK containers
+        # beyond its padded length — emit zeros
+        bin_ids = jnp.zeros(
+            (n_local // cfg.block_size, cfg.block_size), jnp.uint8
+        )
+        qtable = jnp.zeros((cfg.block_size,), x_local.dtype)
+        return (
+            bin_ids, dc, ac_rows, ac_counts, ovf, sf, mean, qtable, ok,
+            width, packed, exc_rows, exc_counts, ac_counts, ovf,
+        )
+
     def body(x_local):
         q, sf, mean, ok = _local_encode(
             x_local, n_real, cfg, ac_capacity, AXIS, compaction
@@ -195,10 +266,11 @@ def encode_sharded(
     if dpk:
         specs += [P(AXIS)] * 5 + [P()]
     out = jax.shard_map(
-        body,
+        body_fused if use_fused else body,
         mesh=mesh,
         in_specs=P(AXIS),
         out_specs=tuple(specs),
+        check_vma=False,  # pallas out_shapes carry no vma under shard_map
     )(x_padded)
     return out
 
@@ -249,6 +321,7 @@ def decode_sharded(
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=P(AXIS),
+        check_vma=False,  # pallas out_shapes carry no vma under shard_map
     )(bin_ids, dc, ac_shards, sf, qtable)
 
 
@@ -311,6 +384,7 @@ def decode_sharded_dpk(
         mesh=mesh,
         in_specs=(P(AXIS),) * 5 + (P(), P()),
         out_specs=P(AXIS),
+        check_vma=False,  # pallas out_shapes carry no vma under shard_map
     )(width, rows, exc_rows, dc, ac_rows, sf, qt_in)
 
 

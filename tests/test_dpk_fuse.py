@@ -187,6 +187,49 @@ def test_verified_encode_streams_identical(interp, f32_mode):
     assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
 
 
+def test_encode_sharded_fused_streams_identical(interp, f32_mode):
+    """The per-shard fused kernel inside encode_sharded produces the same
+    streams as the XLA shard body, on the 8-virtual-device mesh."""
+    from dctz_tpu.parallel import sharding as sh
+    from dctz_tpu.ops import fused_encode  # noqa: F401
+
+    rng = np.random.default_rng(1)
+    n = 8 * 256 * 64 * 2  # 2 tiles per shard
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 9)
+    mesh = sh.make_mesh()
+    cfg = api._device_cfg(
+        CodecConfig(mode="ec", error_bound=1e-3, verify=True)
+    )
+    outs = {}
+    for force in (True, False):
+        dpk_fuse._FORCE = force
+        sh.encode_sharded.clear_cache()
+        o = sh.encode_sharded(
+            x, n_real=n - 5, cfg=cfg, ac_capacity=None, mesh=mesh,
+            compaction="chunked", dpk=True,
+        )
+        if int(np.asarray(o[-1])) or int(np.asarray(o[4])):
+            # capacity overflow: api retries at full chunk width (the two
+            # arms clip the discarded attempt differently — the fused AC
+            # rides the exception union, the XLA arm compacts it directly)
+            from dctz_tpu.core import quantize as qz
+
+            cw = qz.chunk_width(n // 8, 64)
+            o = sh.encode_sharded(
+                x, n_real=n - 5, cfg=cfg, ac_capacity=cw, mesh=mesh,
+                compaction="chunked", dpk=True, cape=1 << 20,
+            )
+        outs[force] = [np.asarray(v) for v in o]
+    names = [
+        "bin_ids", "dc", "ac", "acc", "ovf", "sf", "mean", "qt", "ok",
+        "width", "packed", "exc", "excc", "acc2", "eovf",
+    ]
+    for i, nm in enumerate(names):
+        if nm == "bin_ids":
+            continue  # the fused arm emits zeros (unused for DPK frames)
+        assert np.array_equal(outs[True][i], outs[False][i]), nm
+
+
 def test_roundtrip_public_api(interp, f32_mode):
     """compress/decompress through the public API with the fused kernels
     forced on: container identical, decode bound holds."""

@@ -121,6 +121,37 @@ def run_lossless_baseline(ds: Dataset, codec: str, data_dir: str | None = None) 
     }
 
 
+def run_sz_like(ds: Dataset, error_bound: float, data_dir: str | None = None) -> dict:
+    """The error-bounded competitor point (eval/sz_like.py): a faithful
+    minimal SZ-1.x predictor codec — real (ratio, PSNR) at each bound, the
+    comparison zc-ratedistortion.sh runs against the actual SZ binary."""
+    from ..utils.metrics import evaluate
+    from . import sz_like
+
+    x = ds.load(data_dir)
+    t0 = time.perf_counter()
+    blob = sz_like.compress(x, error_bound)
+    t1 = time.perf_counter()
+    rec = sz_like.decompress(blob)
+    t2 = time.perf_counter()
+    m = evaluate(x, rec, error_bound, len(blob))
+    return {
+        "compressor": "sz_like",
+        "dataset": ds.name,
+        "source": ds.source(data_dir),
+        "dtype": ds.dtype,
+        "n": ds.n,
+        "error_bound": error_bound,
+        "ratio": round(m["ratio"], 4),
+        "psnr_db": round(m["psnr_db"], 3),
+        "max_rel_err": m["max_rel_err"],
+        "bound_satisfied": m["bound_satisfied"],
+        "verify": True,  # bound-guaranteed by construction
+        "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),
+        "decompress_mb_s": round(x.nbytes / 1e6 / (t2 - t1), 2),
+    }
+
+
 def sweep(
     suite: str,
     bounds=DEFAULT_BOUNDS,
@@ -130,6 +161,7 @@ def sweep(
     data_dir: str | None = None,
     progress=print,
     verify: bool = True,
+    sz_baseline: bool = True,
 ):
     rows = []
     for ds in SUITES[suite]:
@@ -137,6 +169,9 @@ def sweep(
             rows.append(run_lossless_baseline(ds, codec, data_dir))
             progress(json.dumps(rows[-1]))
         for eb in bounds:
+            if sz_baseline:
+                rows.append(run_sz_like(ds, eb, data_dir))
+                progress(json.dumps(rows[-1]))
             for mode in modes:
                 for engine in engines:
                     rows.append(

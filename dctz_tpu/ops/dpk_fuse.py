@@ -378,7 +378,7 @@ def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
 
     def kernel(np_ref, nv_ref, sf_ref, geom_ref, x_ref, bdf_ref, bdi_ref,
                w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref, ok_ref,
-               scr_i, scr_f):
+               scr_i, scr_f, ok_s):
         t = pl.program_id(0)
         rmin = geom_ref[0]
         rmax = geom_ref[1]
@@ -425,20 +425,34 @@ def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
                 e_ij = jnp.abs(coef - hat)
                 return blk, e_ij
 
-            for pass_floor in (w / 8, w * 1e-3):
-                blk, e_ij = reconstruct(ids)
-                force = (blk > tol) & ac_mask & (e_ij > pass_floor)
-                ids = jnp.where(force, C.ESCAPE, ids)
-            blk, _ = reconstruct(ids)
-            ok = 1.0 - jnp.max(
-                jnp.where(blk > tol, 1.0, 0.0)
-            )  # 1.0 iff no block violates
+            # early-out: one check pass; the two repair passes + re-check
+            # run ONLY on tiles with a violating block (repair is a no-op
+            # on clean tiles — bit-identical either way). scr_i carries the
+            # repaired ids out of the predicated block; it is overwritten
+            # with the validity-masked ids below.
+            blk0, _ = reconstruct(ids)
+            any_viol = jnp.max(jnp.where(blk0 > tol, 1.0, 0.0))
+            scr_i[:] = ids
+            ok_s[0] = 1.0
+
+            @pl.when(any_viol > 0.0)
+            def _repair():
+                ids_r = scr_i[:]
+                for pass_floor in (w / 8, w * 1e-3):
+                    blk, e_ij = reconstruct(ids_r)
+                    force = (blk > tol) & ac_mask & (e_ij > pass_floor)
+                    ids_r = jnp.where(force, C.ESCAPE, ids_r)
+                blk, _ = reconstruct(ids_r)
+                scr_i[:] = ids_r
+                ok_s[0] = 1.0 - jnp.max(jnp.where(blk > tol, 1.0, 0.0))
+
+            ids = scr_i[:]
 
             @pl.when(t == 0)
             def _init():
                 ok_ref[:] = jnp.ones_like(ok_ref)
 
-            ok_ref[:] = jnp.minimum(ok_ref[:], ok)
+            ok_ref[:] = jnp.minimum(ok_ref[:], ok_s[0])
         else:
 
             @pl.when(t == 0)
@@ -568,6 +582,7 @@ def encode_x_fused(
         scratch_shapes=[
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(np1, nv1, sf1, geom, x2, bdf, bdi)

@@ -95,7 +95,27 @@ def _shr(a, s, col, fill):
     return jnp.where(col >= s, r, jnp.full_like(r, fill))
 
 
+_CUMSUM_MM = True  # inclusive prefix sum on the MXU (A/B hook; see below)
+
+
 def _cumsum(m_i32, col, cw):
+    """Inclusive prefix sum along lanes of a 0/1 mask.
+
+    Default: ONE triangular 0/1 matmul on the MXU (counts <= cw <= 2048 are
+    exact in the f32 accumulator) — replaces log2(cw) VPU roll+add stages,
+    freeing the VPU for the routing stages that cannot leave it. The roll
+    ladder remains as the fallback/AB arm."""
+    if _CUMSUM_MM:
+        i = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1)
+        tri = (i <= j).astype(jnp.float32).astype(jnp.bfloat16)
+        mb = m_i32.astype(jnp.float32).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            mb,
+            tri,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
     cum = m_i32
     s = 1
     while s < cw:

@@ -382,40 +382,11 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         truncate=cfg.truncate,
     )
     if dpk:
-        from .ops import idpack
-
-        header.shuffle = cfg.shuffle
         with timer.stage("zlib"):
-            # the six sections are independent: DC and AC (including the AC
-            # row gather) code on the section pool while the four id
-            # sections code here — byte-identical output, assembly order is
-            # fixed at the gather below (docs/benchmarks.md: the sequential
-            # section chain left most of the host cores idle)
-            pool = entropy.section_pool()
-
-            def _ac_task():
-                ac = entropy.take_row_prefixes(ac_chunks, counts)
-                return _float_sections(
-                    ac.tobytes(), ac.dtype.itemsize, cfg, header
-                )
-
-            f_dc = pool.submit(
-                _float_sections, dc.tobytes(), dc.dtype.itemsize, cfg, header
+            return _pack_dpk_v2(
+                header, width, packed_rows, exc_rows, exc_counts, counts,
+                ac_chunks, dc, n_pad, cfg, qtable,
             )
-            f_ac = pool.submit(_ac_task)
-            streams = _dpk_sections(
-                width,
-                packed_rows,
-                exc_rows,
-                exc_counts,
-                counts,
-                idpack.B_DEFAULT,
-                chunk_width(n_pad, cfg.block_size),
-                n_pad,
-                cfg,
-                header,
-            ) + (f_dc.result(), f_ac.result())
-            return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
     with timer.stage("zlib"):  # host assembly work, counted in the host stage
         ac = entropy.take_row_prefixes(ac_chunks, counts)
     stream_len = n if cfg.container == "v1" else n_pad
@@ -438,6 +409,46 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
         )
         return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
+
+
+def _pack_dpk_v2(
+    header, width, packed_rows, exc_rows, exc_counts, counts, ac_chunks,
+    dc, n_pad, cfg, qtable,
+) -> bytes:
+    """Host assembly of a DPK v2 container from the device outputs (shared
+    by _compress_fused and the segmented stream writer). The six sections
+    are independent: DC and AC (including the AC row gather) code on the
+    section pool while the four id sections code here — byte-identical
+    output, assembly order is fixed at the gather below
+    (docs/benchmarks.md: the sequential section chain left most of the
+    host cores idle)."""
+    from .core.quantize import chunk_width
+    from .ops import idpack
+
+    header.shuffle = cfg.shuffle
+    pool = entropy.section_pool()
+
+    def _ac_task():
+        ac = entropy.take_row_prefixes(ac_chunks, counts)
+        return _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header)
+
+    f_dc = pool.submit(
+        _float_sections, dc.tobytes(), dc.dtype.itemsize, cfg, header
+    )
+    f_ac = pool.submit(_ac_task)
+    streams = _dpk_sections(
+        width,
+        packed_rows,
+        exc_rows,
+        exc_counts,
+        counts,
+        idpack.B_DEFAULT,
+        chunk_width(n_pad, cfg.block_size),
+        n_pad,
+        cfg,
+        header,
+    ) + (f_dc.result(), f_ac.result())
+    return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
 
 def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
@@ -1081,6 +1092,24 @@ def compress(
     n = int(arr.shape[0])
     if n == 0:
         raise ValueError("cannot compress an empty array")
+
+    if cfg.segment_elems and n >= 2 * cfg.segment_elems:
+        # pipelined path: device encode of segment k+1 overlaps host
+        # packing of segment k; emits a DTZS stream (decompress()
+        # auto-detects and pipelines the inverse)
+        import io
+
+        from . import stream as dstream
+
+        buf = io.BytesIO()
+        with timer.stage("pipeline"):
+            dstream.compress_stream(
+                arr if isinstance(arr, np.ndarray) else np.asarray(arr),
+                buf,
+                config=cfg,
+                segment_elems=cfg.segment_elems,
+            )
+        return buf.getvalue()
 
     if _fused_eligible(cfg, arr, n):
         with _f32_device_trace(arr.dtype):

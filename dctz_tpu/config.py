@@ -122,6 +122,10 @@ class CodecConfig:
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
     verify: bool = False
+    #: segment the monolithic compress() into a pipelined DTZS stream when
+    #: the input exceeds 2x this element count (device encode of segment k+1
+    #: overlaps host packing of segment k; stream.py). None = monolithic.
+    segment_elems: int | None = None
 
     def __post_init__(self) -> None:
         if self.mode not in ("ec", "qt"):

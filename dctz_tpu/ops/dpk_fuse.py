@@ -229,10 +229,11 @@ def _ceil_lanes(c: int) -> int:
 _INF = 1 << 30
 
 
-def encode_eligible(b: int, bs: int, cw: int) -> bool:
+def encode_eligible(b: int, bs: int, cw: int, nbins: int = C.NBINS) -> bool:
     return (
         b == TILE_B
         and bs == BS
+        and nbins == C.NBINS  # the kernel hardcodes the closed-form bins
         and cw % 128 == 0
         and TILE_N % cw == 0
     )

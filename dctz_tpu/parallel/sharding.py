@@ -163,6 +163,7 @@ def encode_sharded(
             idpack.B_DEFAULT,
             cfg.block_size,
             qz.chunk_width(shard_elems, cfg.block_size),
+            cfg.nbins,
         )
     )
 

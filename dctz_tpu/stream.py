@@ -18,6 +18,18 @@ monolithic encoding; only the zlib framing differs.
 
 Each segment is also independently decodable => natural partial-restore and
 parallel/distributed decompression.
+
+Both directions run a two-stage software pipeline (VERDICT round-2 #4):
+the writer's host worker entropy-codes segment k while the device encodes
+segment k+1; the reader's host worker re-inflates frame k+1 while the
+device decodes frame k. On the EC DPK path the segments run the same fused
+kernels and host packers as the monolithic API (api._pack_dpk_v2), with
+the verify tolerance and scaling factor computed globally first — so each
+frame carries the same guarantee as a monolithic container. The monolithic
+compress() routes here when cfg.segment_elems is set. Note: on the
+dev-tunnel attachment the h2d/d2h transfers (~0.02 GB/s) dominate wall
+time in BOTH arrangements, so the overlap benefit is only observable on
+production-attached hosts; correctness is CI-tested either way.
 """
 
 from __future__ import annotations
@@ -102,11 +114,53 @@ def compress_stream(
     import concurrent.futures
 
     from .api import _device_cfg
+    from .ops import dpk_fuse
 
     def write_frame(blob: bytes) -> int:
         out.write(_FRAME.pack(len(blob)))
         out.write(blob)
         return _FRAME.size + len(blob)
+
+    dpk_seg = (
+        cfg.ids_codec == "device"
+        and cfg.mode == "ec"
+        and x.dtype == np.float32
+        and cfg.block_size == dpk_fuse.BS
+        and cfg.brsf == 1.0
+        and cfg.truncate
+        and dpk_fuse.enabled()
+        and dpk_fuse.encode_eligible(
+            dpk_fuse.TILE_B, cfg.block_size,
+            qz.chunk_width(1024, cfg.block_size), cfg.nbins,
+        )
+    )
+    if dpk_seg:
+        # fused-kernel segments: every frame is a DPK v2 container packed
+        # by the SAME host code as the monolithic path (api._pack_dpk_v2);
+        # verify-repair runs in-kernel with the GLOBAL tolerance
+        vmax = -np.inf
+        vmin = np.inf
+        for seg in _segments(x, segment_elems):
+            vmax = max(vmax, float(seg.max()))
+            vmin = min(vmin, float(seg.min()))
+        from .ops import repair
+
+        tol = (vmax - vmin) * cfg.error_bound * repair._SLACK
+        with concurrent.futures.ThreadPoolExecutor(1) as host_worker:
+            pending = None
+            for seg in _segments(x, segment_elems):
+                outs = _encode_segment_dpk(
+                    seg, sf, tol, _device_cfg(cfg)
+                )
+                if pending is not None:
+                    written += write_frame(pending.result())
+                pending = host_worker.submit(
+                    _pack_segment_dpk, outs, seg.shape[0],
+                    np.dtype(seg.dtype), sf, mean, cfg,
+                )
+            written += write_frame(pending.result())
+        out.write(_FRAME.pack(0))
+        return written + _FRAME.size
 
     with concurrent.futures.ThreadPoolExecutor(1) as host_worker:
         pending = None
@@ -125,6 +179,72 @@ def compress_stream(
         written += write_frame(pending.result())
     out.write(_FRAME.pack(0))
     return written + _FRAME.size
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape):
+    from .ops import dpk_fuse
+
+    cw = qz.chunk_width(x.shape[0], cfg.block_size)
+    return dpk_fuse.encode_x_fused(
+        x, sf, tol, n_valid, float(cfg.error_bound), min(cape, cw), cw,
+        cfg.verify,
+    )
+
+
+def _encode_segment_dpk(seg: np.ndarray, sf: float, tol: float, cfg):
+    """Device stage of one DPK segment (padded to the 1024 tile quantum);
+    retries once at full chunk width on capacity overflow."""
+    from .ops import idpack
+
+    n = seg.shape[0]
+    pad = (-n) % 1024
+    xs = jnp.asarray(seg)
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros((pad,), xs.dtype)])
+    sfv = jnp.asarray(np.asarray(sf, np.float32))
+    tolv = jnp.asarray(np.asarray(tol, np.float32))
+    outs = _encode_segment_dpk_jit(xs, sfv, tolv, n, cfg, idpack.CAPE)
+    if bool(jax.device_get(outs[7])):
+        outs = _encode_segment_dpk_jit(
+            xs, sfv, tolv, n, cfg, qz.chunk_width(n + pad, cfg.block_size)
+        )
+    return outs, n + pad
+
+
+def _pack_segment_dpk(
+    outs_npad, n: int, dtype: np.dtype, sf: float, mean: float, cfg
+) -> bytes:
+    """Host stage of one DPK segment: pull the device results and pack the
+    same v2 container the monolithic path emits (api._pack_dpk_v2)."""
+    from .api import _pack_dpk_v2
+
+    (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc, _ovf,
+     _ok), n_pad = outs_npad
+    width, packed, exc_rows, exc_counts, ac_chunks, counts, dc = (
+        jax.device_get(
+            (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc)
+        )
+    )
+    header = ct.Header(
+        dtype=dtype,
+        num_elements=n,
+        error_bound=cfg.error_bound,
+        ac_count=int(counts.sum()),
+        scaling_factor=sf,
+        mean=mean,
+        bindex_nbytes=0,
+        dc_nbytes=0,
+        ac_nbytes=0,
+        mode=cfg.mode,
+        block_size=cfg.block_size,
+        nbins=cfg.nbins,
+        truncate=cfg.truncate,
+    )
+    return _pack_dpk_v2(
+        header, width, packed, exc_rows, exc_counts, counts, ac_chunks,
+        dc, n_pad, cfg, None,
+    )
 
 
 def _pack_segment(
@@ -169,7 +289,14 @@ def _pack_segment(
 
 
 def decompress_stream(f: BinaryIO) -> Iterator[np.ndarray]:
-    """Yield reconstructed segments in order."""
+    """Yield reconstructed segments in order.
+
+    Two-stage pipeline (mirror of the writer): a worker thread runs frame
+    k+1's HOST stage (crc parse + side-stream inflation + row re-padding)
+    while this thread runs frame k's device program — the host stage hides
+    behind device compute + transfer instead of serializing with it."""
+    import concurrent.futures
+
     from .api import decompress
 
     hdr = f.read(_HDR.size)
@@ -178,12 +305,60 @@ def decompress_stream(f: BinaryIO) -> Iterator[np.ndarray]:
         raise ValueError("not a DCTZ-TPU stream")
     if version != 1:
         raise ValueError(f"unsupported stream version {version}")
-    while True:
+
+    def read_frame():
         raw = f.read(_FRAME.size)
         (length,) = _FRAME.unpack(raw)
-        if length == 0:
+        return f.read(length) if length else None
+
+    def prep(blob):
+        """Host stage; returns a closure running the device stage (main
+        thread). Frames that are not single DPK v2 containers fall back to
+        a full decompress inside the worker (still overlapped)."""
+        from . import api
+        from .core import container as ct2
+
+        if ct2.detect_format(blob) != "v2":
+            return lambda: decompress(blob)
+        header, streams, qtable, _cb = ct2.parse_v2(blob)
+        if not header.dpk:
+            return lambda: decompress(blob)
+        host_arrays, (n_stream, tile_b, cw, cfg, ac_layout) = (
+            api._dpk_decode_prep(header, streams)
+        )
+        n = header.num_elements
+        work = api._decode_work_dtype(header, True)
+
+        def run_device():
+            dev = tuple(jnp.asarray(a) for a in host_arrays)
+            sf = jnp.asarray(header.scaling_factor, jnp.dtype(work))
+            qt = (
+                jnp.asarray(qtable).astype(jnp.dtype(work))
+                if qtable is not None
+                else None
+            )
+            with api._f32_device_trace(work):
+                x = api._decode_device_dpk(
+                    *dev, n_stream, api._device_cfg(cfg), work, ac_layout,
+                    tile_b, cw, sf, qt,
+                )
+            return np.asarray(jax.device_get(x), dtype=header.dtype)[:n]
+
+        return run_device
+
+    with concurrent.futures.ThreadPoolExecutor(1) as host_worker:
+        blob = read_frame()
+        if blob is None:
             return
-        yield decompress(f.read(length))
+        fut = host_worker.submit(prep, blob)
+        while True:
+            nxt = read_frame()
+            run = fut.result()
+            if nxt is not None:
+                fut = host_worker.submit(prep, nxt)
+            yield run()
+            if nxt is None:
+                return
 
 
 def decompress_stream_all(f: BinaryIO) -> np.ndarray:

@@ -51,3 +51,68 @@ def test_stream_segments_independently_decodable():
 def test_stream_bad_magic():
     with pytest.raises(ValueError, match="not a DCTZ-TPU stream"):
         list(stream.decompress_stream(io.BytesIO(b"JUNK" + b"\0" * 12)))
+
+
+def test_stream_dpk_fused_segments_roundtrip():
+    """The DPK fused-segment writer + overlapped reader (ops/dpk_fuse in
+    the stream pipeline): bound holds, frames are DPK v2 containers."""
+    import jax
+
+    from dctz_tpu.core import container as ct
+    from dctz_tpu.ops import dpk_fuse
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    dpk_fuse._FORCE, dpk_fuse._INTERPRET = True, True
+    try:
+        rng = np.random.default_rng(7)
+        x = (np.sin(np.arange(1 << 18, dtype=np.float32) * 0.01) * 20
+             + rng.standard_normal(1 << 18).astype(np.float32) * 0.05)
+        cfg = CodecConfig(
+            mode="ec", error_bound=1e-3, container="v2",
+            ids_codec="device", verify=True,
+        )
+        buf = io.BytesIO()
+        stream.compress_stream(x, buf, config=cfg, segment_elems=1 << 16)
+        raw = buf.getvalue()
+        # frames must be DPK v2 containers
+        off = stream._HDR.size
+        (flen,) = stream._FRAME.unpack_from(raw, off)
+        hdr, _s, _q, _cb = ct.parse_v2(
+            raw[off + stream._FRAME.size : off + stream._FRAME.size + flen]
+        )
+        assert hdr.dpk
+        buf.seek(0)
+        y = stream.decompress_stream_all(buf)
+        tol = 1e-3 * (x.max() - x.min())
+        assert y.shape == x.shape
+        assert np.abs(y - x).max() <= tol
+    finally:
+        dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
+        jax.config.update("jax_enable_x64", old_x64)
+
+
+def test_compress_segment_elems_routes_to_stream():
+    """cfg.segment_elems pipelines the monolithic compress() into a DTZS
+    stream; decompress() auto-detects and round-trips."""
+    import jax
+
+    from dctz_tpu.ops import dpk_fuse
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    dpk_fuse._FORCE, dpk_fuse._INTERPRET = True, True
+    try:
+        x = np.sin(np.arange(1 << 18, dtype=np.float32) * 0.003) * 11
+        cfg = CodecConfig(
+            mode="ec", error_bound=1e-3, container="v2",
+            ids_codec="device", verify=True, segment_elems=1 << 16,
+        )
+        blob = dctz_tpu.compress(x, config=cfg)
+        assert blob[:4] == b"DTZS"
+        y = dctz_tpu.decompress(blob)
+        tol = 1e-3 * (x.max() - x.min())
+        assert np.abs(y - x).max() <= tol
+    finally:
+        dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
+        jax.config.update("jax_enable_x64", old_x64)

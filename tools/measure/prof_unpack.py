@@ -1,0 +1,117 @@
+"""unpack_ids + decode-core sub-stage breakdown (K=64, eps-dependent inputs)."""
+import os, pathlib, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(pathlib.Path(__file__).parent / ".jax_cache"))
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import numpy as np
+from dctz_tpu import api
+from dctz_tpu.ops import fused_encode as fe, idpack, compaction as cp, shuffle as sh
+from dctz_tpu.core import constants as C
+from dctz_tpu.core import quantize as qz, transform
+from dctz_tpu.core.quantize import chunk_width
+from dctz_tpu.config import CodecConfig
+
+N = 1 << 25; EB = 1e-3; K = 64; BS = 64
+def _sync(a): float(jnp.asarray(a).ravel()[0])
+def amort(fn, *ops):
+    @jax.jit
+    def rep(z, *o):
+        def body(i, acc):
+            return acc + fn(acc * 1e-30, *o) * 1e-30
+        return jax.lax.fori_loop(0, K, body, z)
+    _sync(rep(jnp.float32(0), *ops))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter(); _sync(rep(jnp.float32(0), *ops)); best = min(best, time.perf_counter() - t0)
+    return (best - 0.028) / K * 1e3
+
+def climate(n):
+    t = jnp.arange(n, dtype=jnp.float32)
+    x = (jnp.sin(t*0.001)*40.0 + jnp.sin(t*0.137)*3.0 + jnp.sin(t*2.03)*0.3)
+    return jnp.where(jnp.arange(n, dtype=jnp.int32) % 9973 == 0, x*8.0, x)
+
+x = jax.jit(climate, static_argnums=0)(N); _sync(x)
+sf, _ = api._stats_device(x, N, 1)
+ids, dcac = fe.fused_encode_ec(x, sf, EB, 1.0, False)
+ids = jax.device_put(jax.device_get(ids)); _sync(ids.astype(jnp.float32))
+dcac = jax.device_put(jax.device_get(dcac)); _sync(dcac)
+nblk, bs = ids.shape
+cw = chunk_width(N, BS); nc = N // cw
+B = idpack.B_DEFAULT; T = idpack.tiles_of(nblk, B)
+pk = idpack.pack_ids(ids, N, B, idpack.CAPE)
+width_d = jax.device_put(jax.device_get(pk[0])); _sync(width_d.astype(jnp.float32))
+packed_d = jax.device_put(jax.device_get(pk[1])); _sync(packed_d.astype(jnp.float32))
+exc_d = jax.device_put(jax.device_get(pk[2])); _sync(exc_d.astype(jnp.float32))
+esc_mask = (ids == C.ESCAPE) & (jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1) >= 1)
+ac_rows, _, _ = cp.compact_chunked(esc_mask.reshape(-1), dcac.reshape(-1), cw, 128)
+ac_rows = jax.device_put(jax.device_get(ac_rows)); _sync(ac_rows)
+
+def dep_u8(a, eps):  # make a u8 operand eps-dependent at ~zero true cost
+    return a + (eps * 1e30).astype(jnp.uint8)
+
+# --- unpack sub-stages (each re-does the prior ones; deltas = true cost) ---
+def u_cand(eps, width, packed):
+    wcol = dep_u8(width, eps).reshape(T * bs).astype(jnp.int32)
+    nib = jnp.zeros((T * bs, B), jnp.int32)
+    for wb in (1, 2, 3, 4):
+        v = idpack._unpack_w(packed, wb, B)
+        nib = jnp.where((wcol == wb)[:, None], v, nib)
+    return jnp.sum(nib.astype(jnp.float32)) * 1e-9
+
+def u_comb(eps, width, packed):
+    wcol = dep_u8(width, eps).reshape(T * bs).astype(jnp.int32)
+    nib = jnp.zeros((T * bs, B), jnp.int32)
+    for wb in (1, 2, 3, 4):
+        v = idpack._unpack_w(packed, wb, B)
+        nib = jnp.where((wcol == wb)[:, None], v, nib)
+    thr_col = jnp.where(wcol > 0, (1 << wcol) - 1, jnp.int32(-1))
+    comb = nib | ((nib == thr_col[:, None]).astype(jnp.int32) << 8)
+    return jnp.sum(comb.astype(jnp.float32)) * 1e-9
+
+def u_trans(eps, width, packed):
+    wcol = dep_u8(width, eps).reshape(T * bs).astype(jnp.int32)
+    nib = jnp.zeros((T * bs, B), jnp.int32)
+    for wb in (1, 2, 3, 4):
+        v = idpack._unpack_w(packed, wb, B)
+        nib = jnp.where((wcol == wb)[:, None], v, nib)
+    thr_col = jnp.where(wcol > 0, (1 << wcol) - 1, jnp.int32(-1))
+    comb = nib | ((nib == thr_col[:, None]).astype(jnp.int32) << 8)
+    comb_bm = jnp.swapaxes(comb.reshape(T, bs, B), 1, 2).reshape(T * B, bs)[:nblk]
+    return jnp.sum(comb_bm.astype(jnp.float32)) * 1e-9
+
+def u_full(eps, width, packed, exc):
+    out = idpack.unpack_ids(dep_u8(width, eps), packed, exc, nblk, bs, B, cw)
+    return jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+# expansion alone, eps-dependent mask
+def u_exp(eps, ids, exc):
+    idd = dep_u8(ids, eps)
+    m = (idd.astype(jnp.int32) >= 100)  # similar density stand-in
+    out = cp.expand_chunked(m.reshape(-1, cw), exc.astype(jnp.bfloat16))
+    return jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+# --- decode core sub-stages ---
+cfg = api._device_cfg(CodecConfig(mode="ec", error_bound=EB))
+def c_full(eps, ids, ac_rows):
+    x = api._decode_core(dep_u8(ids, eps), dcac[:, 0], ac_rows, N, cfg, "float32", "chunked", sf, None)
+    return jnp.sum(x) * 1e-9
+def c_deq(eps, ids, ac_rows):
+    co = qz.decode(dep_u8(ids, eps), dcac[:, 0], ac_rows, None, N, cfg, jnp.dtype("float32"), "chunked")
+    return jnp.sum(co) * 1e-9
+def c_idct(eps, dcac):
+    xx = transform.inverse(dcac + eps, jnp.zeros((0,), jnp.float32))
+    return jnp.sum(xx) * 1e-9
+
+for name, fn, ops in [
+    ("unpack candidates+sel", u_cand, (width_d, packed_d)),
+    (" +comb mark", u_comb, (width_d, packed_d)),
+    (" +transpose", u_trans, (width_d, packed_d)),
+    ("expand exc (isolated)", u_exp, (ids, exc_d)),
+    ("unpack_ids FULL", u_full, (width_d, packed_d, exc_d)),
+    ("decode core FULL", c_full, (ids, ac_rows)),
+    ("  dequant only", c_deq, (ids, ac_rows)),
+    ("  idct only", c_idct, (dcac,)),
+]:
+    print(f"{name:24s} {amort(fn, *ops):7.2f} ms", flush=True)

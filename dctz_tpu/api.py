@@ -265,30 +265,37 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
 
         ec_x_kernel = (
             dpk
-            and cfg.mode == "ec"
+            and cfg.mode in ("ec", "qt")
+            and cfg.brsf == 1.0
             and dpk_fuse.enabled()
             and dpk_fuse.encode_eligible(
                 idpack.B_DEFAULT, cfg.block_size,
-                chunk_width(n_pad, cfg.block_size),
+                chunk_width(n_pad, cfg.block_size), cfg.nbins,
             )
         )
         if ec_x_kernel:
-            # ONE Pallas program for the whole EC encode — including the
+            # ONE Pallas program for the whole encode — including the
             # verify-repair passes when cfg.verify (the guaranteed-bound
             # mode costs three extra in-VMEM IDCT matmuls, not extra HBM
-            # passes; ops/dpk_fuse.encode_x_fused)
-            uout = fe.fused_encode_pipeline_dpk_ec(
+            # passes; ops/dpk_fuse.encode_x_fused). QT adds the qmax
+            # reduction pass in the same jit.
+            x_pipeline = (
+                fe.fused_encode_pipeline_dpk_qt_v2
+                if cfg.mode == "qt"
+                else fe.fused_encode_pipeline_dpk_ec
+            )
+            uout = x_pipeline(
                 arr, sf, cfg.error_bound, idpack.CAPE, n, cfg.verify
             )
             if bool(jax.device_get(uout[7])):
                 # exception-capacity overflow: retry at full chunk width
-                uout = fe.fused_encode_pipeline_dpk_ec(
+                uout = x_pipeline(
                     arr, sf, cfg.error_bound,
                     chunk_width(n_pad, cfg.block_size), n, cfg.verify,
                 )
             pk = uout[:4]
             ac_chunks, counts, dc = uout[4], uout[5], uout[6]
-            qtable_dev = None
+            qtable_dev = uout[9] if cfg.mode == "qt" else None
             bound_ok = uout[8] if cfg.verify else None
         elif not cfg.verify and dpk:
             # single-program encode: kernel + ONE shared chunk sort for the

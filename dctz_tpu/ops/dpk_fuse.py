@@ -368,23 +368,35 @@ def _make_encode_kernel(cw: int, cape_k: int, capc_k: int):
     return kernel
 
 
-def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
-    """EC encode from raw samples: scale -> DCT -> quantize (mirror of
-    ops/fused_encode._kernel) -> optional in-kernel verify-repair (mirror
-    of ops/repair.verify_repair: two fixed force-escape passes + final
-    check) -> the shared pack/compact tile body. One HBM pass for the whole
-    guaranteed-bound encode."""
+def _make_encode_x_kernel(
+    cw: int, cape_k: int, capc_k: int, verify: bool, qt: bool
+):
+    """EC/QT encode from raw samples: scale -> DCT -> quantize (mirror of
+    ops/fused_encode._kernel / _kernel_qt) -> optional in-kernel
+    verify-repair (mirror of ops/repair.verify_repair: two fixed
+    force-escape passes + final check, QT floor included) -> the shared
+    pack/compact tile body. One HBM pass for the whole guaranteed-bound
+    encode. QT mode takes the (already globally-reduced) qtable as an
+    input and renormalizes escapes exactly like the two-pass XLA path;
+    forced-escape side is chosen by SIGN (repair._stored_dense semantics —
+    identical to the out-of-range side for natural escapes)."""
     g128 = cw // 128
     half = C.NBINS // 2
 
     def kernel(np_ref, nv_ref, sf_ref, geom_ref, x_ref, bdf_ref, bdi_ref,
-               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref, ok_ref,
-               scr_i, scr_f, ok_s):
+               *rest):
+        if qt:
+            qt_ref = rest[0]
+            rest = rest[1:]
+        (w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref, ok_ref,
+         scr_i, scr_f, ok_s) = rest
         t = pl.program_id(0)
         rmin = geom_ref[0]
         rmax = geom_ref[1]
         w = geom_ref[2]
         tol = geom_ref[3]
+        eb = geom_ref[4]
+        qtf = geom_ref[5]
 
         xs = x_ref[:] / sf_ref[0]  # divide: reference semantics
         coef = jnp.dot(
@@ -397,13 +409,32 @@ def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
         gpos = (t * 128 + row) * 128 + col
         is_dc = (col % BS) == 0
         in_range = (coef >= rmin) & (coef <= rmax)
-        lin = jnp.clip(((coef - rmin) / w).astype(jnp.int32), 0, C.NBINS - 1)
-        zz = jnp.where(lin <= half, 2 * (half - lin), 2 * (lin - half) - 1)
-        ids = jnp.where(in_range & ~is_dc, zz, C.ESCAPE)
+
+        def bin_of(v):
+            lin = jnp.clip(
+                ((v - rmin) / w).astype(jnp.int32), 0, C.NBINS - 1
+            )
+            return jnp.where(lin <= half, 2 * (half - lin), 2 * (lin - half) - 1)
+
+        if qt:
+            qrow = jnp.concatenate([qt_ref[0:1, :]] * 2, axis=1)  # (1, 128)
+            side = jnp.where(coef > 0, rmax, rmin)
+            # eb THEN qt_factor: the C rounding order (_kernel_qt)
+            norm = ((coef / qrow) * eb) * qtf + side
+            escape0 = ~in_range & ~is_dc
+            eff = jnp.where(escape0, norm, coef)
+            re_in = (eff >= rmin) & (eff <= rmax)
+            ids = jnp.where(re_in & ~is_dc, bin_of(eff), C.ESCAPE)
+            qt_floor = 3e-6 * jnp.abs(qrow)  # repair.verify_repair floor
+        else:
+            norm = coef  # EC stores the coefficient verbatim
+            ids = jnp.where(in_range & ~is_dc, bin_of(coef), C.ESCAPE)
+            qt_floor = jnp.zeros((1, 128), jnp.float32)
 
         if verify:
             ac_mask = ~is_dc & (gpos < np_ref[0])
             samp_valid = gpos < nv_ref[0]
+            denom = eb * qtf
 
             def reconstruct(ids_c):
                 escape = ac_mask & (ids_c == C.ESCAPE)
@@ -411,7 +442,13 @@ def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
                 cent = jnp.where(ids_c % 2 == 1, k2 + 1, -k2).astype(
                     jnp.float32
                 ) * w
-                hat = jnp.where(escape, coef, cent)
+                if qt:
+                    # stored = norm; the decoder inverts it (quantize.decode)
+                    side_d = jnp.where(norm > 0, rmax, rmin)
+                    esc_val = ((norm - side_d) / denom) * qrow
+                else:
+                    esc_val = coef
+                hat = jnp.where(escape, esc_val, cent)
                 hat = jnp.where(is_dc, coef, hat)
                 xhat = jnp.dot(
                     hat, bdi_ref[:],
@@ -441,7 +478,8 @@ def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
                 ids_r = scr_i[:]
                 for pass_floor in (w / 8, w * 1e-3):
                     blk, e_ij = reconstruct(ids_r)
-                    force = (blk > tol) & ac_mask & (e_ij > pass_floor)
+                    floor = jnp.maximum(pass_floor, qt_floor)
+                    force = (blk > tol) & ac_mask & (e_ij > floor)
                     ids_r = jnp.where(force, C.ESCAPE, ids_r)
                 blk, _ = reconstruct(ids_r)
                 scr_i[:] = ids_r
@@ -479,9 +517,15 @@ def _make_encode_x_kernel(cw: int, cape_k: int, capc_k: int, verify: bool):
             _bf16(s_halves), _bf16(m_sel), ((0,), (0,))
         ).astype(jnp.int32)
 
-        # chunk-major (cpt, cw) via scratch strided slices
+        # chunk-major (cpt, cw) via scratch strided slices. Stored values:
+        # DC = the coefficient; QT escapes = the renormalized value
+        # (repair._stored_dense, sign-side); EC escapes = the coefficient.
         scr_i[:] = ids_i
-        scr_f[:] = coef
+        if qt:
+            stored = jnp.where((ids == C.ESCAPE) & ~is_dc, norm, coef)
+            scr_f[:] = stored
+        else:
+            scr_f[:] = coef
         idsc = jnp.concatenate(
             [scr_i[k::g128, :] for k in range(g128)], axis=1
         )
@@ -504,10 +548,13 @@ def encode_x_fused(
     cape: int,
     cw: int,
     verify: bool,
+    qtable: jax.Array | None = None,
+    qt_factor: float = 10.0,
 ):
-    """Whole EC device encode (optionally verified) from raw samples.
+    """Whole EC/QT device encode (optionally verified) from raw samples.
 
-    x: flat, length a multiple of 1024 (api's pad quantum). Returns
+    x: flat, length a multiple of 1024 (api's pad quantum). qtable: the
+    globally-reduced (64,) quantizer table enables QT mode. Returns
     (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
     overflow, ok) with the same stream contract as
     idpack.pack_ids_with_ac; `ok` is the verified-bound flag (always True
@@ -536,6 +583,8 @@ def encode_x_fused(
             jnp.asarray(rmax, jnp.float32),
             jnp.asarray(w_bin, jnp.float32),
             tol.astype(jnp.float32),
+            jnp.asarray(float(cfg_eb), jnp.float32),
+            jnp.asarray(float(qt_factor), jnp.float32),
         ]
     )
     bdf = jnp.asarray(_blockdiag_np(BS, 128 // BS, True), jnp.float32)
@@ -544,8 +593,17 @@ def encode_x_fused(
     nv1 = jnp.asarray(n_valid, jnp.int32).reshape(1)
     sf1 = sf.reshape(1).astype(jnp.float32)
 
-    kernel = _make_encode_x_kernel(cw, cape_k, cape_k, verify)
+    qt = qtable is not None
+    kernel = _make_encode_x_kernel(cw, cape_k, cape_k, verify, qt)
     rep = lambda i: (0, 0)  # noqa: E731 — replicated blocks
+    qt_specs = (
+        [pl.BlockSpec((8, BS), rep, memory_space=pltpu.VMEM)] if qt else []
+    )
+    qt_args = (
+        [jnp.broadcast_to(qtable.astype(jnp.float32)[None, :], (8, BS))]
+        if qt
+        else []
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(t,),
@@ -557,7 +615,7 @@ def encode_x_fused(
             pl.BlockSpec((128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), rep, memory_space=pltpu.VMEM),
-        ],
+        ] + qt_specs,
         out_specs=[
             pl.BlockSpec((8, BS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -586,7 +644,7 @@ def encode_x_fused(
             pltpu.SMEM((1,), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(np1, nv1, sf1, geom, x2, bdf, bdi)
+    )(np1, nv1, sf1, geom, x2, bdf, bdi, *qt_args)
     w8, packed, exc_k, ac_k, cnts, dc3, okg = outs
     t_real = -(-nblk // TILE_B)
     width = w8[::8][:t_real]

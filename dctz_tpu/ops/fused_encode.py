@@ -65,6 +65,10 @@ TILE_R = 512  # rows (of 128 lanes) per grid step: 256 KB f32 in VMEM
 LANES = 128
 BS = 64  # block size (two blocks per row)
 
+# Test hook: force interpret mode for every kernel in this module (CPU CI
+# drives the full fused dispatch paths through it; cf. ops/dpk_fuse.py)
+_INTERPRET = False
+
 
 def _kernel(sf_ref, geom_ref, x_ref, bd_ref, ids_ref, dcac_ref):
     r = x_ref.shape[0]
@@ -170,6 +174,34 @@ def _kernel_qt(sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref):
     )
 
 
+def _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret):
+    """QT pass 1 (see module docstring): per-position qtable, clamped >= 1.0
+    (slot 0 is patched by the caller with the last block's DC)."""
+    qmax = pl.pallas_call(
+        _kernel_qmax,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tile_r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+        interpret=interpret or _INTERPRET,
+    )(sf1, geom, x2, bd)
+
+    colmax = jnp.max(qmax, axis=0)
+    col64 = jnp.maximum(colmax[:BS], colmax[BS:])
+    return jnp.maximum(col64, jnp.float32(1.0))
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fused_encode_qt(
     x: jax.Array,
@@ -196,30 +228,7 @@ def fused_encode_qt(
     x2 = x.reshape(rows, LANES)
     sf1 = sf.reshape(1).astype(jnp.float32)
 
-    qmax = pl.pallas_call(
-        _kernel_qmax,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (tile_r, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (8, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32),
-        interpret=interpret,
-    )(sf1, geom, x2, bd)
-
-    colmax = jnp.max(qmax, axis=0)
-    col64 = jnp.maximum(colmax[:BS], colmax[BS:])
-    # clamp >= 1.0 (slot 0 is patched by the caller with the last DC)
-    qtable = jnp.maximum(col64, jnp.float32(1.0))
+    qtable = _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret)
 
     ids, dcac = pl.pallas_call(
         _kernel_qt,
@@ -249,7 +258,7 @@ def fused_encode_qt(
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(
         sf1,
         geom,
@@ -314,7 +323,7 @@ def fused_encode_ec(
             jax.ShapeDtypeStruct((rows, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(sf.reshape(1).astype(jnp.float32), geom, x.reshape(rows, LANES), bd)
 
     nblk = n // BS
@@ -405,6 +414,57 @@ def fused_encode_pipeline_dpk_ec(
     return dpk_fuse.encode_x_fused(
         x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify
     )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def fused_encode_pipeline_dpk_qt_v2(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    cape: int,
+    n_true: int,
+    verify: bool,
+):
+    """QT twin of fused_encode_pipeline_dpk_ec: the qmax pass reduces the
+    global qtable (pass 1), then ONE x-input kernel does the renormalizing
+    quantization + optional in-kernel verify-repair + pack/compact
+    (ops/dpk_fuse.encode_x_fused with a qtable input). Streams
+    byte-identical to fused_encode_pipeline_dpk_qt / pipeline+repair+pack.
+
+    Returns (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
+    overflow, ok, qtable) — qtable slot 0 already patched with the last
+    block's DC (the reference quirk)."""
+    from ..core.quantize import chunk_width
+    from ..ops.repair import _SLACK
+    from . import dpk_fuse
+
+    n_pad = x.shape[0]
+    assert n_pad % (LANES * 8) == 0, n_pad
+    rows = n_pad // LANES
+    tile_r = next(t for t in (512, 256, 128, 64, 32, 16, 8) if rows % t == 0)
+    grid = rows // tile_r
+    half = C.NBINS // 2
+    w = error_bound * 2.0
+    rmax = (half * 2 + 1) * error_bound
+    qtf = 10.0 if C.NBINS == 255 else 2000.0
+    geom = jnp.asarray([-rmax, rmax, w, error_bound, qtf], jnp.float32)
+    bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
+    sf1 = sf.reshape(1).astype(jnp.float32)
+    qtable = _qtable_pass(
+        x.reshape(rows, LANES), sf1, geom, bd, tile_r, grid, False
+    )
+
+    cw = chunk_width(n_pad, BS)
+    flat_pos = jnp.arange(n_pad)
+    xv_max = jnp.max(jnp.where(flat_pos < n_true, x, -jnp.inf))
+    xv_min = jnp.min(jnp.where(flat_pos < n_true, x, jnp.inf))
+    tol = (xv_max - xv_min) * jnp.asarray(error_bound, x.dtype) * _SLACK
+    out = dpk_fuse.encode_x_fused(
+        x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify,
+        qtable, qtf,
+    )
+    qtable = qtable.at[0].set(out[6][-1])
+    return out + (qtable,)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

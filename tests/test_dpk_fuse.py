@@ -155,13 +155,49 @@ def test_decode_fused_partial_tail(interp, f32_mode):
     assert np.array_equal(res[True], res[False])
 
 
-def test_verified_encode_streams_identical(interp, f32_mode):
+@pytest.fixture
+def fused_path(monkeypatch):
+    """Route compress() through _compress_fused on the CPU backend: chunked
+    compaction forced on, every Pallas kernel in interpret mode. Without
+    this, use_chunked_compaction() gates the fused dispatch OFF on CPU and
+    cross-arm container comparisons are vacuous."""
+    from dctz_tpu.ops import fused_encode as fe
+
+    monkeypatch.setattr(cp, "use_chunked_compaction", lambda: True)
+    fe._INTERPRET = True
+    yield
+    fe._INTERPRET = False
+    for f in (
+        fe.fused_encode_pipeline_dpk,
+        fe.fused_encode_pipeline_dpk_ec,
+        fe.fused_encode_ec,
+        fe.fused_encode_qt,
+        api._repair_fused,
+    ):
+        f.clear_cache()
+
+
+def _clear_compress_caches():
+    from dctz_tpu.ops import fused_encode as fe
+
+    for f in (
+        idpack.pack_ids_with_ac,
+        fe.fused_encode_pipeline_dpk,
+        fe.fused_encode_pipeline_dpk_ec,
+        api._repair_fused,
+        api._decode_device_dpk,
+    ):
+        f.clear_cache()
+
+
+def test_verified_encode_streams_identical(interp, f32_mode, fused_path):
     """The in-kernel verify-repair (encode_x_fused) produces byte-identical
-    containers to the XLA pipeline+repair path, with repair genuinely
-    active (sedov is the canonical pointwise-bound violator)."""
+    containers to the XLA pipeline+repair+pack path, with repair genuinely
+    active (sedov is the canonical pointwise-bound violator). The
+    fused_path fixture forces the real _compress_fused dispatch on CPU —
+    without it both arms silently take the non-fused path."""
     import dctz_tpu
     from dctz_tpu.eval.datasets import SUITES
-    from dctz_tpu.ops import fused_encode as fe
 
     x = next(d for d in SUITES["msst19"] if d.name == "sedov").load()
     x = x.astype(np.float32)
@@ -172,10 +208,8 @@ def test_verified_encode_streams_identical(interp, f32_mode):
     blobs = {}
     for force in (False, True):
         dpk_fuse._FORCE = force
-        dpk_fuse._INTERPRET = force
-        idpack.pack_ids_with_ac.clear_cache()
-        fe.fused_encode_pipeline_dpk.clear_cache()
-        fe.fused_encode_pipeline_dpk_ec.clear_cache()
+        dpk_fuse._INTERPRET = True
+        _clear_compress_caches()
         blobs[force] = dctz_tpu.compress(x, config=cfg_v)
     assert blobs[True] == blobs[False]
     # repair must actually fire on this data (bound violated unverified)
@@ -230,9 +264,40 @@ def test_encode_sharded_fused_streams_identical(interp, f32_mode):
         assert np.array_equal(outs[True][i], outs[False][i]), nm
 
 
-def test_roundtrip_public_api(interp, f32_mode):
+@pytest.mark.parametrize("verify", [False, True])
+def test_qt_encode_streams_identical(interp, f32_mode, fused_path, verify):
+    """QT through the x-input kernel (qmax pass + renormalizing quantize +
+    optional in-kernel verify) produces byte-identical containers to the
+    two-kernel + pack / pipeline+repair+pack XLA arms."""
+    import dctz_tpu
+    from dctz_tpu.eval.datasets import SUITES
+    from dctz_tpu.ops import fused_encode as fe
+
+    x = next(d for d in SUITES["msst19"] if d.name == "sedov").load()
+    x = x.astype(np.float32)
+    cfg = CodecConfig(
+        mode="qt", error_bound=1e-3, container="v2",
+        ids_codec="device", verify=verify,
+    )
+    blobs = {}
+    for force in (False, True):
+        dpk_fuse._FORCE = force
+        dpk_fuse._INTERPRET = True
+        _clear_compress_caches()
+        fe.fused_encode_pipeline_dpk_qt.clear_cache()
+        fe.fused_encode_pipeline_dpk_qt_v2.clear_cache()
+        blobs[force] = dctz_tpu.compress(x, config=cfg)
+    assert blobs[True] == blobs[False]
+    y = dctz_tpu.decompress(blobs[True])
+    m = dctz_tpu.evaluate(x, y, 1e-3)
+    if verify:
+        assert m["bound_satisfied"]
+
+
+def test_roundtrip_public_api(interp, f32_mode, fused_path):
     """compress/decompress through the public API with the fused kernels
-    forced on: container identical, decode bound holds."""
+    forced on vs off (real _compress_fused dispatch via fused_path):
+    container identical, decode bound holds."""
     rng = np.random.default_rng(11)
     arr = (
         np.sin(np.arange(1 << 16, dtype=np.float32) * 0.01) * 20
@@ -242,10 +307,11 @@ def test_roundtrip_public_api(interp, f32_mode):
 
     cfg = CodecConfig(error_bound=1e-3, container="v2", ids_codec="device")
     dpk_fuse._FORCE = False
+    dpk_fuse._INTERPRET = True
+    _clear_compress_caches()
     blob_ref = dctz_tpu.compress(arr, config=cfg)
     dpk_fuse._FORCE = True
-    idpack.pack_ids_with_ac.clear_cache()
-    api._decode_device_dpk.clear_cache()
+    _clear_compress_caches()
     blob = dctz_tpu.compress(arr, config=cfg)
     assert blob == blob_ref
     rec = dctz_tpu.decompress(blob)

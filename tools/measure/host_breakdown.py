@@ -1,4 +1,6 @@
 """Warm host-stage breakdown (min of 10) on the bench container."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[2]))
 import os, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax

@@ -1039,6 +1039,22 @@ def _decode_work_dtype(header: ct.Header, is_v2: bool) -> str:
     return "float64"
 
 
+def _resolve_ids_codec(cfg: CodecConfig) -> CodecConfig:
+    """ids_codec="auto" means the best coder for the backend: the device
+    (DPK) coder on TPU backends with v2 containers — the id stream leaves
+    the chip entropy-coded and the fused kernels carry the whole pipeline —
+    else the host-side choice (_ids_streams: native rANS / deflate)."""
+    from .ops import dpk_fuse
+
+    if (
+        cfg.ids_codec == "auto"
+        and cfg.container == "v2"
+        and dpk_fuse.enabled()
+    ):
+        return dataclasses.replace(cfg, ids_codec="device")
+    return cfg
+
+
 def _resolve_input(x, cfg: CodecConfig) -> jax.Array:
     """Validate dtype / x64 availability; apply internal_dtype policy."""
     arr = jnp.asarray(x)
@@ -1094,6 +1110,7 @@ def compress(
             stacklevel=2,
         )
         cfg = dataclasses.replace(cfg, container="v2")
+    cfg = _resolve_ids_codec(cfg)
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = _resolve_input(x, cfg)
     n = int(arr.shape[0])
@@ -1377,6 +1394,7 @@ def compress_sharded(
     cfg = config or CodecConfig(mode=mode, error_bound=error_bound, container="v2")
     if cfg.container != "v2":
         cfg = dataclasses.replace(cfg, container="v2")
+    cfg = _resolve_ids_codec(cfg)
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = np.asarray(jax.device_get(x)).reshape(-1)
     if arr.dtype == np.float64 and (

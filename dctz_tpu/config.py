@@ -40,9 +40,12 @@ class CodecConfig:
         smaller ids section AND ~4x faster deflate (HUFFMAN_ONLY suffices
         on the packed stream).
       ids_codec: entropy codec for the bin-index stream (v2 containers).
-        "auto" uses the native static rANS (cpp/rans.cpp, ~480 MB/s at
-        equal-or-better ratio than zlib-huffman) on the ids4 nibbles when
-        the native library is built, else deflate. "device" codes the
+        "auto" resolves per backend: the DEVICE coder on TPU backends
+        (the fused-kernel fast path; ~20% smaller than rANS on climate
+        data, though a few % larger on pure-random worst cases), else the
+        native static rANS (cpp/rans.cpp, ~480 MB/s at equal-or-better
+        ratio than zlib-huffman) on the ids4 nibbles when the native
+        library is built, else deflate. "device" codes the
         stream ON THE DEVICE (ops/idpack.py: transposed per-position
         patched fixed-width packing) so the host only slices/concatenates —
         the TPU fast path, and measured ~20% smaller than rANS on climate

@@ -191,6 +191,9 @@ def compress_multihost(
     )
     if cfg.container != "v2":
         cfg = dataclasses.replace(cfg, container="v2")
+    from ..api import _resolve_ids_codec
+
+    cfg = _resolve_ids_codec(cfg)
     if jax.process_count() == 1:
         from ..api import compress_sharded
 

@@ -84,6 +84,9 @@ def compress_stream(
     """Compress `x` into `out` in bounded-memory segments; returns total
     bytes written. segment_elems is rounded to a block multiple."""
     cfg = config or CodecConfig(mode=mode, error_bound=error_bound, container="v2")
+    from .api import _resolve_ids_codec
+
+    cfg = _resolve_ids_codec(cfg)
     x = np.asarray(x).reshape(-1)
     n = x.shape[0]
     if n == 0:
@@ -308,8 +311,15 @@ def decompress_stream(f: BinaryIO) -> Iterator[np.ndarray]:
 
     def read_frame():
         raw = f.read(_FRAME.size)
+        if len(raw) != _FRAME.size:
+            raise ValueError("truncated stream: missing frame header")
         (length,) = _FRAME.unpack(raw)
-        return f.read(length) if length else None
+        if not length:
+            return None
+        body = f.read(length)
+        if len(body) != length:
+            raise ValueError("truncated stream: frame body cut short")
+        return body
 
     def prep(blob):
         """Host stage; returns a closure running the device stage (main

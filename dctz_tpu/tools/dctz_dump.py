@@ -13,6 +13,8 @@ def dump(path: str) -> dict:
     from ..core import container as ct
 
     blob = open(path, "rb").read()
+    if blob[:4] == b"DTZS":
+        return _dump_stream(path, blob)
     fmt = ct.detect_format(blob)
     if fmt == "v2":
         hdr, streams, qtable, chunk_bytes = ct.parse_v2(blob)
@@ -106,6 +108,42 @@ def extract(path: str, out_prefix: str | None = None) -> list[str]:
         qtable.tofile(p)
         written.append(p)
     return written
+
+
+def _dump_stream(path: str, blob: bytes) -> dict:
+    """DTZS stream summary: header + per-frame container headers."""
+    from .. import stream as dstream
+    from ..core import container as ct
+
+    magic, version, _res, n_total = dstream._HDR.unpack_from(blob, 0)
+    frames = []
+    off = dstream._HDR.size
+    while True:
+        (length,) = dstream._FRAME.unpack_from(blob, off)
+        off += dstream._FRAME.size
+        if length == 0:
+            break
+        hdr, _s, _q, _cb = ct.parse_v2(blob[off : off + length])
+        frames.append(
+            {
+                "bytes": length,
+                "num_elements": hdr.num_elements,
+                "mode": hdr.mode,
+                "dpk": hdr.dpk,
+                "ratio": round(
+                    hdr.num_elements * hdr.dtype.itemsize / length, 4
+                ),
+            }
+        )
+        off += length
+    return {
+        "file": path,
+        "format": "dtzs-stream",
+        "version": version,
+        "total_elements": n_total,
+        "frames": frames,
+        "total_bytes": len(blob),
+    }
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -116,3 +116,26 @@ def test_compress_segment_elems_routes_to_stream():
     finally:
         dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
         jax.config.update("jax_enable_x64", old_x64)
+
+
+def test_stream_truncated_raises():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(64 * 200).astype(np.float32)
+    buf = io.BytesIO()
+    stream.compress_stream(x, buf, 1e-3, "ec", segment_elems=64 * 100)
+    raw = buf.getvalue()
+    with pytest.raises(ValueError, match="truncated stream"):
+        list(stream.decompress_stream(io.BytesIO(raw[: len(raw) // 2])))
+
+
+def test_dump_tool_dtzs(tmp_path, capsys):
+    from dctz_tpu.tools import dctz_dump
+
+    x = np.sin(np.arange(64 * 300, dtype=np.float32) * 0.01) * 9
+    buf = io.BytesIO()
+    stream.compress_stream(x, buf, 1e-3, "ec", segment_elems=64 * 100)
+    p = tmp_path / "s.dtzs"
+    p.write_bytes(buf.getvalue())
+    assert dctz_dump.main([str(p)]) == 0
+    out = capsys.readouterr().out
+    assert '"dtzs-stream"' in out and '"frames"' in out

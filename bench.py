@@ -74,7 +74,7 @@ EB = 1e-3
 CFG = CodecConfig(
     mode="ec", error_bound=EB, container="v2", ids_codec="device", verify=True
 )
-REPS = 3
+REPS = 5  # host stages see 2-5x external noise; more best-of samples
 
 
 def climate_formula_np(n: int) -> np.ndarray:

@@ -357,15 +357,28 @@ def decode_sharded_dpk(
     zero blocks: width 0 rows unpack to all-center ids and consume no
     exceptions). Per shard the same program as the single-chip path runs:
     unpack (ops/idpack.py) + the XLA decode chain."""
-    from ..ops import idpack
+    from ..ops import dpk_fuse, idpack
 
     bs = cfg.block_size
     n_dev = mesh.devices.size
     t_l = width.shape[0] // n_dev
     n_local = t_l * tile_b * bs
 
+    use_fused = (
+        dpk_fuse.enabled()
+        and dpk_fuse.decode_eligible(cfg, dtype, tile_b, cw, qtable)
+    )
+
     def body(w_l, p_l, e_l, dc_l, ac_l, sf_rep, qt_rep):
         qt = qt_rep if cfg.mode == "qt" else None
+        if use_fused:
+            # the single-kernel decode per shard (ops/dpk_fuse.py) — the
+            # same program the single-chip path dispatches; bit-identical
+            # to the chain below
+            x = dpk_fuse.decode_fused(
+                w_l, p_l, e_l, ac_l, dc_l, sf_rep, cfg, cw, qt
+            )
+            return x[:n_local]
         bin_ids = idpack.unpack_ids(
             w_l, p_l, e_l, n_local // bs, bs, tile_b, cw
         )

@@ -317,3 +317,25 @@ def test_roundtrip_public_api(interp, f32_mode, fused_path):
     rec = dctz_tpu.decompress(blob)
     rng_span = arr.max() - arr.min()
     assert np.abs(rec - arr).max() <= 1e-3 * rng_span + 1e-9
+
+
+def test_decode_sharded_fused_bit_identical(interp, f32_mode):
+    """decode_sharded_dpk's fused per-shard kernel matches the XLA shard
+    body on the 8-virtual-device mesh."""
+    from dctz_tpu.parallel import sharding as sh
+
+    rng = np.random.default_rng(3)
+    nblk = 8 * 256 * 2
+    (w, packed, exc_rows, ac_rows, dc), n, cw = _container_arrays(rng, nblk)
+    mesh = sh.make_mesh()
+    cfg = api._device_cfg(CodecConfig(mode="ec", error_bound=1e-3))
+    res = {}
+    for force in (True, False):
+        dpk_fuse._FORCE = force
+        sh.decode_sharded_dpk.clear_cache()
+        x = sh.decode_sharded_dpk(
+            w, packed, exc_rows, dc, ac_rows, jnp.float32(1.5), None,
+            tile_b=256, cw=cw, cfg=cfg, dtype="float32", mesh=mesh,
+        )
+        res[force] = np.asarray(x)
+    assert np.array_equal(res[True], res[False])

@@ -101,3 +101,21 @@ for i, nm in enumerate(names):
 dpk_fuse._FORCE = None
 sh.encode_sharded.clear_cache()
 print(f"sharded encode (fused): {amort(cur_sharded, x):.2f} ms", flush=True)
+
+# fused sharded DECODE arms (added after decode_sharded_dpk upgrade)
+from dctz_tpu.ops import fused_encode as fe2, idpack as ip2
+from dctz_tpu.core.quantize import chunk_width as cw_of
+pk = fe2.fused_encode_pipeline_dpk_ec(x, jnp.float32(100.0), EB, ip2.CAPE, N, False)
+w_d, packed_d, exc_d, _, ac_d, _, dc_d, _, _ = [jax.device_put(jax.device_get(v)) for v in pk]
+for a in (w_d, packed_d, exc_d, ac_d, dc_d): _sync(a.astype(jnp.float32))
+cwv = cw_of(N, 64)
+def dec_sh(eps, w_d, packed_d, exc_d, dc_d, ac_d):
+    xx = sh.decode_sharded_dpk(w_d, packed_d, exc_d, dc_d + eps, ac_d,
+                               jnp.float32(100.0), None, tile_b=256, cw=cwv,
+                               cfg=cfg, dtype="float32", mesh=mesh)
+    return jnp.sum(xx) * 1e-9
+for force, tag in ((False, "xla-chain"), (True, "fused")):
+    dpk_fuse._FORCE = force
+    sh.decode_sharded_dpk.clear_cache()
+    print(f"sharded decode [{tag}]: {amort(dec_sh, w_d, packed_d, exc_d, dc_d, ac_d):.2f} ms", flush=True)
+dpk_fuse._FORCE = None

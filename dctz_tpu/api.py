@@ -723,8 +723,14 @@ def _dpk_host_rebuild(header: ct.Header, streams):
 
     width = np.frombuffer(f_width.result(), np.uint8, rows_n).reshape(t, bs)
     bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-    rows = entropy.pad_row_prefixes(
-        f_tight.result(), bpr, tile_b // 2, np.uint8
+    # the two row re-pads are independent of each other and of the DC/AC
+    # sections: run the packed one on the pool while this thread pads the
+    # exceptions (the pads are the decode-host cost center after the
+    # section inflations — docs/benchmarks.md)
+    f_rows = pool.submit(
+        lambda: entropy.pad_row_prefixes(
+            f_tight.result(), bpr, tile_b // 2, np.uint8
+        )
     )
     exc_tight = np.frombuffer(f_exc.result(), np.uint8)
     peak_e = int(exc_counts.max()) if exc_counts.size else 0
@@ -735,6 +741,7 @@ def _dpk_host_rebuild(header: ct.Header, streams):
     )
     exc_rows = entropy.pad_row_prefixes(exc_tight, exc_counts, cape, np.uint8)
 
+    rows = f_rows.result()
     dc_raw = f_dc.result()
     ac_raw = f_ac.result()
     return (

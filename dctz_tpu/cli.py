@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="use the C++ CPU reference codec instead of the JAX pipeline",
     )
     p.add_argument("--sharded", action="store_true", help="shard over the mesh")
+    p.add_argument(
+        "--segment-elems",
+        type=int,
+        default=None,
+        help="pipeline compress through DTZS segments of this many elements "
+        "(device/host overlap; decompress auto-detects)",
+    )
     p.add_argument("--json", action="store_true", help="emit a metrics JSON line")
     p.add_argument(
         "--no-write", action="store_true", help="skip writing .z / .z.r files"
@@ -143,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
             ids_codec=args.ids_codec,
             dpk_host_codec=args.dpk_host_codec,
             host_codec=args.host_codec,
+            segment_elems=args.segment_elems,
         )
         blob = compress(data, config=cfg)
     t_comp = time.perf_counter() - t0

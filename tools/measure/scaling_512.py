@@ -13,7 +13,8 @@ from dctz_tpu.ops import fused_encode as fe, idpack
 from dctz_tpu.core.quantize import chunk_width
 from dctz_tpu.config import CodecConfig
 
-N = 1 << 27  # 512 MB f32
+import os as _os
+N = int(_os.environ.get('N_ELEMS', 1 << 27))  # default 512 MB f32
 EB = 1e-3; K = 16
 def _sync(a): float(jnp.asarray(a).ravel()[0])
 def amort(fn, *ops):

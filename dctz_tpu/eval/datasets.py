@@ -82,7 +82,22 @@ CESM_ATM = [
 # BASELINE.json config 1: rand-gen 1M doubles.
 RANDGEN = [Dataset("randgen-1M", (1_000_000,), "f64", "rand")]
 
-SUITES = {"msst19": MSST19, "cesm-atm": CESM_ATM, "randgen": RANDGEN}
+# Spectrally-shaped fields (1/f^alpha noise): neither trivially linearly
+# predictable (unlike the sinusoid kinds, which hand sz_like its best case)
+# nor spectrum-free (which would hand the DCT its worst) — the honest
+# middle ground for synthetic rate-distortion comparisons.
+SPECTRAL = [
+    Dataset("pink-1M", (1_000_000,), "f32", "spectral"),
+    Dataset("brown-1M", (1_000_000,), "f32", "spectral2"),
+    Dataset("violet-1M", (1_000_000,), "f64", "spectral05"),
+]
+
+SUITES = {
+    "msst19": MSST19,
+    "cesm-atm": CESM_ATM,
+    "randgen": RANDGEN,
+    "spectral": SPECTRAL,
+}
 
 
 def parse_list_file(path: str | pathlib.Path, dtype: str = "f64") -> list[Dataset]:

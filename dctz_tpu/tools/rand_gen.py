@@ -36,6 +36,19 @@ def generate(n: int, kind: str = "rand", seed: int = 0) -> np.ndarray:
         x = np.sin(t) * 40 + rng.standard_normal(n) * 0.2
         x[rng.random(n) < 1e-4] *= 50
         return x
+    if kind.startswith("spectral"):
+        # 1/f^alpha noise via FFT shaping: turbulence-like fields with a
+        # realistic power spectrum — unlike the sinusoid kinds above they
+        # are NOT trivially linearly predictable, so the dctz-vs-sz_like
+        # rate-distortion comparison is not biased toward either codec
+        # (docs: BASELINE.md rate-distortion section)
+        alpha = {"spectral": 1.0, "spectral2": 2.0, "spectral05": 0.5}[kind]
+        freqs = np.fft.rfftfreq(n)
+        amp = np.where(freqs > 0, freqs ** (-alpha / 2.0), 0.0)
+        phase = rng.uniform(0, 2 * np.pi, len(freqs))
+        spec = amp * np.exp(1j * phase)
+        x = np.fft.irfft(spec, n)
+        return x / np.abs(x).max() * 100.0
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -44,7 +57,7 @@ def main(argv=None) -> int:
     p.add_argument("n", type=int)
     p.add_argument("out")
     p.add_argument("--dtype", choices=["f64", "f32"], default="f64")
-    p.add_argument("--kind", choices=["rand", "smooth", "climate", "spiky"], default="rand")
+    p.add_argument("--kind", choices=["rand", "smooth", "climate", "spiky", "spectral", "spectral2", "spectral05"], default="rand")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     x = generate(args.n, args.kind, args.seed)

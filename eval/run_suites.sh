@@ -8,5 +8,6 @@ DATA=${DCTZ_DATA_DIR:+--data-dir "$DCTZ_DATA_DIR"}
 python -m dctz_tpu.eval.harness --suite msst19  --modes ec qt --engines jax native $DATA --out eval/results_msst19.csv
 python -m dctz_tpu.eval.harness --suite cesm-atm --modes ec qt --engines jax native $DATA --out eval/results_cesm.csv
 python -m dctz_tpu.eval.harness --suite randgen --modes ec --engines jax native $DATA --out eval/results_randgen.csv
+python -m dctz_tpu.eval.harness --suite spectral --modes ec qt --engines jax $DATA --out eval/results_spectral.csv
 python -m dctz_tpu.eval.harness --suite msst19  --modes ec qt --engines sharded $DATA --out eval/results_msst19_sharded.csv
 echo "all sweeps done"

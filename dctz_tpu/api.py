@@ -266,7 +266,6 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         ec_x_kernel = (
             dpk
             and cfg.mode in ("ec", "qt")
-            and cfg.brsf == 1.0
             and dpk_fuse.enabled()
             and dpk_fuse.encode_eligible(
                 idpack.B_DEFAULT, cfg.block_size,
@@ -285,13 +284,15 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 else fe.fused_encode_pipeline_dpk_ec
             )
             uout = x_pipeline(
-                arr, sf, cfg.error_bound, idpack.CAPE, n, cfg.verify
+                arr, sf, cfg.error_bound, idpack.CAPE, n, cfg.verify,
+                cfg.brsf,
             )
             if bool(jax.device_get(uout[7])):
                 # exception-capacity overflow: retry at full chunk width
                 uout = x_pipeline(
                     arr, sf, cfg.error_bound,
                     chunk_width(n_pad, cfg.block_size), n, cfg.verify,
+                    cfg.brsf,
                 )
             pk = uout[:4]
             ac_chunks, counts, dc = uout[4], uout[5], uout[6]
@@ -387,6 +388,7 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
         block_size=cfg.block_size,
         nbins=cfg.nbins,
         truncate=cfg.truncate,
+        brsf=cfg.brsf,
     )
     if dpk:
         with timer.stage("zlib"):
@@ -1046,6 +1048,25 @@ def _decode_work_dtype(header: ct.Header, is_v2: bool) -> str:
     return "float64"
 
 
+def _quantize_brsf(cfg: CodecConfig) -> CodecConfig:
+    """Snap cfg.brsf to the container-representable grid (2**(k/8)) so the
+    encoder uses EXACTLY the geometry the header records — without this a
+    brsf != 1 container would silently decode with the wrong bin width."""
+    import math
+
+    if cfg.brsf == 1.0:
+        return cfg
+    code = min(255, max(1, round(math.log2(cfg.brsf) * 8.0) + 128))
+    q = 2.0 ** ((code - 128) / 8.0)
+    if q != cfg.brsf:
+        warnings.warn(
+            f"brsf {cfg.brsf} quantized to {q} (the container header grid)",
+            stacklevel=3,
+        )
+        cfg = dataclasses.replace(cfg, brsf=q)
+    return cfg
+
+
 def _resolve_ids_codec(cfg: CodecConfig) -> CodecConfig:
     """ids_codec="auto" means the best coder for the backend: the device
     (DPK) coder on TPU backends with v2 containers — the id stream leaves
@@ -1117,6 +1138,15 @@ def compress(
             stacklevel=2,
         )
         cfg = dataclasses.replace(cfg, container="v2")
+    if cfg.brsf != 1.0:
+        if cfg.container == "v1":
+            warnings.warn(
+                "v1 containers cannot record brsf (fixed reference layout);"
+                " writing v2 instead",
+                stacklevel=2,
+            )
+            cfg = dataclasses.replace(cfg, container="v2")
+        cfg = _quantize_brsf(cfg)
     cfg = _resolve_ids_codec(cfg)
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = _resolve_input(x, cfg)
@@ -1207,6 +1237,7 @@ def compress(
         block_size=cfg.block_size,
         nbins=cfg.nbins,
         truncate=cfg.truncate,
+        brsf=cfg.brsf,
     )
     if dpk:
         from .ops import idpack
@@ -1261,6 +1292,7 @@ def _header_config(header: ct.Header) -> CodecConfig:
         truncate=header.truncate,
         block_size=header.block_size,
         nbins=header.nbins,
+        brsf=header.brsf,
     )
 
 
@@ -1401,6 +1433,7 @@ def compress_sharded(
     cfg = config or CodecConfig(mode=mode, error_bound=error_bound, container="v2")
     if cfg.container != "v2":
         cfg = dataclasses.replace(cfg, container="v2")
+    cfg = _quantize_brsf(cfg)
     cfg = _resolve_ids_codec(cfg)
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
     arr = np.asarray(jax.device_get(x)).reshape(-1)
@@ -1486,6 +1519,7 @@ def compress_sharded(
         block_size=cfg.block_size,
         nbins=cfg.nbins,
         truncate=cfg.truncate,
+        brsf=cfg.brsf,
     )
     header.shuffle = cfg.shuffle
     dc_ac_z = (

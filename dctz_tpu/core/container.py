@@ -80,6 +80,11 @@ class Header:
     plc: bool = False  # v2: DC/AC sections per-plane coded (entropy.encode_float_stream)
     zst: bool = False  # v2: side sections (ids4 exc / DPK width, exc, meta) chunk-zstd
     dpks: bool = False  # v2: DPK packed section host-zstd-coded (fast ratio mode)
+    #: bin-range scaling factor (reference compile-time BRSF, dctz.h:29).
+    #: v2 records it in the reserved byte (0 = 1.0, else 2**((code-128)/8))
+    #: — without it a brsf != 1 container would silently decode with the
+    #: wrong bin geometry. v1 cannot represent it (fixed reference layout).
+    brsf: float = 1.0
 
     @property
     def nblk(self) -> int:
@@ -224,6 +229,29 @@ _FLAG_ZST = 1 << 10
 _FLAG_DPKS = 1 << 11
 
 
+
+def brsf_code(brsf: float) -> int:
+    """Header byte for the bin-range scaling factor: 0 = 1.0 (legacy and
+    default, byte-stable with old containers), else 128 + 8*log2(brsf) —
+    an exactly-representable grid the caller must quantize to
+    (api._quantize_brsf)."""
+    import math
+
+    if brsf == 1.0:
+        return 0
+    code = round(math.log2(brsf) * 8.0) + 128
+    if not 1 <= code <= 255 or 2.0 ** ((code - 128) / 8.0) != brsf:
+        raise ValueError(
+            f"brsf {brsf} is not representable in the container header; "
+            "use api._quantize_brsf's grid (2**(k/8))"
+        )
+    return code
+
+
+def brsf_of_code(code: int) -> float:
+    return 1.0 if code == 0 else 2.0 ** ((code - 128) / 8.0)
+
+
 def pack_v2(
     header: Header,
     streams_z: tuple,
@@ -276,7 +304,7 @@ def pack_v2(
         header.ac_count,
         header.nbins,
         header.block_size,
-        0,  # reserved
+        brsf_code(header.brsf),  # 0 keeps brsf=1.0 containers byte-stable
         chunk_bytes,
     )
     import zlib
@@ -416,6 +444,7 @@ def parse_v2(
         plc=bool(flags & _FLAG_PLC),
         zst=bool(flags & _FLAG_ZST),
         dpks=bool(flags & _FLAG_DPKS),
+        brsf=brsf_of_code(_res),
     )
     return header, tuple(streams), qtable, chunk_bytes
 

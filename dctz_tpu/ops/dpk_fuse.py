@@ -548,6 +548,7 @@ def encode_x_fused(
     verify: bool,
     qtable: jax.Array | None = None,
     qt_factor: float = 10.0,
+    brsf: float = 1.0,
 ):
     """Whole EC/QT device encode (optionally verified) from raw samples.
 
@@ -573,8 +574,8 @@ def encode_x_fused(
     x2 = (jnp.pad(x, (0, xpad)) if xpad else x).reshape(t * 128, 128)
 
     half = C.NBINS // 2
-    w_bin = float(cfg_eb) * 2.0
-    rmax = (half * 2 + 1) * float(cfg_eb)
+    w_bin = float(cfg_eb) * 2.0 * float(brsf)
+    rmax = (half * 2 + 1) * (float(cfg_eb) * float(brsf))
     geom = jnp.stack(
         [
             jnp.asarray(-rmax, jnp.float32),

@@ -384,7 +384,7 @@ def fused_encode_pipeline_dpk(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def fused_encode_pipeline_dpk_ec(
     x: jax.Array,
     sf: jax.Array,
@@ -392,6 +392,7 @@ def fused_encode_pipeline_dpk_ec(
     cape: int,
     n_true: int,
     verify: bool,
+    brsf: float = 1.0,
 ):
     """Single-kernel EC DPK encode (ops/dpk_fuse.encode_x_fused): DCT +
     quantize + optional in-kernel verify-repair + pack/compact in ONE
@@ -412,11 +413,12 @@ def fused_encode_pipeline_dpk_ec(
     xv_min = jnp.min(jnp.where(flat_pos < n_true, x, jnp.inf))
     tol = (xv_max - xv_min) * jnp.asarray(error_bound, x.dtype) * _SLACK
     return dpk_fuse.encode_x_fused(
-        x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify
+        x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify,
+        brsf=brsf,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def fused_encode_pipeline_dpk_qt_v2(
     x: jax.Array,
     sf: jax.Array,
@@ -424,6 +426,7 @@ def fused_encode_pipeline_dpk_qt_v2(
     cape: int,
     n_true: int,
     verify: bool,
+    brsf: float = 1.0,
 ):
     """QT twin of fused_encode_pipeline_dpk_ec: the qmax pass reduces the
     global qtable (pass 1), then ONE x-input kernel does the renormalizing
@@ -444,8 +447,8 @@ def fused_encode_pipeline_dpk_qt_v2(
     tile_r = next(t for t in (512, 256, 128, 64, 32, 16, 8) if rows % t == 0)
     grid = rows // tile_r
     half = C.NBINS // 2
-    w = error_bound * 2.0
-    rmax = (half * 2 + 1) * error_bound
+    w = error_bound * 2.0 * brsf
+    rmax = (half * 2 + 1) * (error_bound * brsf)
     qtf = 10.0 if C.NBINS == 255 else 2000.0
     geom = jnp.asarray([-rmax, rmax, w, error_bound, qtf], jnp.float32)
     bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
@@ -461,7 +464,7 @@ def fused_encode_pipeline_dpk_qt_v2(
     tol = (xv_max - xv_min) * jnp.asarray(error_bound, x.dtype) * _SLACK
     out = dpk_fuse.encode_x_fused(
         x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify,
-        qtable, qtf,
+        qtable, qtf, brsf,
     )
     qtable = qtable.at[0].set(out[6][-1])
     return out + (qtable,)

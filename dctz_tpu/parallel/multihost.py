@@ -126,6 +126,7 @@ def _pack_local_container(
         block_size=cfg.block_size,
         nbins=cfg.nbins,
         truncate=cfg.truncate,
+        brsf=cfg.brsf,
     )
     header.shuffle = cfg.shuffle
     from ..api import _dpk_sections, _ids_streams

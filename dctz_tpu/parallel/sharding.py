@@ -203,7 +203,7 @@ def encode_sharded(
         (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
          ovf, ok) = dpk_fuse.encode_x_fused(
             x_local, sf, tol, nv_local, cfg.error_bound,
-            min(cape or idpack.CAPE, cw), cw, cfg.verify,
+            min(cape or idpack.CAPE, cw), cw, cfg.verify, brsf=cfg.brsf,
         )
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), AXIS)
         ok = (

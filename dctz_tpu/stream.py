@@ -129,7 +129,6 @@ def compress_stream(
         and cfg.mode == "ec"
         and x.dtype == np.float32
         and cfg.block_size == dpk_fuse.BS
-        and cfg.brsf == 1.0
         and cfg.truncate
         and dpk_fuse.enabled()
         and dpk_fuse.encode_eligible(
@@ -191,7 +190,7 @@ def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape):
     cw = qz.chunk_width(x.shape[0], cfg.block_size)
     return dpk_fuse.encode_x_fused(
         x, sf, tol, n_valid, float(cfg.error_bound), min(cape, cw), cw,
-        cfg.verify,
+        cfg.verify, brsf=cfg.brsf,
     )
 
 
@@ -243,6 +242,7 @@ def _pack_segment_dpk(
         block_size=cfg.block_size,
         nbins=cfg.nbins,
         truncate=cfg.truncate,
+        brsf=cfg.brsf,
     )
     return _pack_dpk_v2(
         header, width, packed, exc_rows, exc_counts, counts, ac_chunks,
@@ -275,6 +275,7 @@ def _pack_segment(
         block_size=cfg.block_size,
         nbins=cfg.nbins,
         truncate=cfg.truncate,
+        brsf=cfg.brsf,
     )
     flat_ids = bin_ids.reshape(-1)[:n]
     header.shuffle = cfg.shuffle

@@ -35,6 +35,33 @@ void parallel_slices(size_t n, size_t align, F body) {
   for (auto& th : threads) th.join();
 }
 
+// Split [0, n_rows) so each slice carries ~equal BYTES (row i costs
+// weight(i)); thread count scales with total bytes, not row count — the
+// row-count heuristic left multi-MB gathers single-threaded.
+template <typename W, typename F>
+void parallel_rows_by_bytes(size_t n_rows, W weight, F body) {
+  size_t total = 0;
+  for (size_t i = 0; i < n_rows; ++i) total += weight(i);
+  int t = nthreads_for(total);
+  if (t <= 1 || n_rows == 0) {
+    if (n_rows) body(size_t(0), n_rows, 0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  size_t per = total / t + 1, acc = 0, lo = 0;
+  int ti = 0;
+  for (size_t i = 0; i < n_rows; ++i) {
+    acc += weight(i);
+    if (acc >= per && i + 1 < n_rows) {
+      threads.emplace_back(body, lo, i + 1, ti++);
+      lo = i + 1;
+      acc = 0;
+    }
+  }
+  threads.emplace_back(body, lo, n_rows, ti);
+  for (auto& th : threads) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -148,10 +175,12 @@ size_t dctz_pack_rows(const uint8_t* rows, size_t n_rows, size_t cap,
                       const uint32_t* lens, uint8_t* out) {
   std::vector<size_t> off(n_rows + 1, 0);
   for (size_t i = 0; i < n_rows; ++i) off[i + 1] = off[i] + lens[i];
-  parallel_slices(n_rows, 1, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i)
-      std::memcpy(out + off[i], rows + i * cap, lens[i]);
-  });
+  parallel_rows_by_bytes(
+      n_rows, [&](size_t i) { return lens[i]; },
+      [&](size_t lo, size_t hi, int) {
+        for (size_t i = lo; i < hi; ++i)
+          std::memcpy(out + off[i], rows + i * cap, lens[i]);
+      });
   return off[n_rows];
 }
 
@@ -164,32 +193,41 @@ size_t dctz_unpack_rows(const uint8_t* tight, size_t n_rows, size_t cap,
     if (lens[i] > cap) return size_t(-1);
     off[i + 1] = off[i] + lens[i];
   }
-  std::memset(rows, 0, n_rows * cap);
-  parallel_slices(n_rows, 1, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i)
-      std::memcpy(rows + i * cap, tight + off[i], lens[i]);
-  });
+  // copy + tail-zero per row in one pass (a full upfront memset touched
+  // every output byte twice — half the scatter's wall time)
+  parallel_rows_by_bytes(
+      n_rows, [&](size_t) { return cap; },
+      [&](size_t lo, size_t hi, int) {
+        for (size_t i = lo; i < hi; ++i) {
+          std::memcpy(rows + i * cap, tight + off[i], lens[i]);
+          std::memset(rows + i * cap + lens[i], 0, cap - lens[i]);
+        }
+      });
   return off[n_rows];
 }
 
 // HDF5-style byte shuffle: n bytes of `itemsize`-byte items -> planes.
 void dctz_shuffle(const uint8_t* in, size_t n, size_t itemsize, uint8_t* out) {
   size_t items = n / itemsize;
-  parallel_slices(items, 1, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i)
-      for (size_t b = 0; b < itemsize; ++b)
-        out[b * items + i] = in[i * itemsize + b];
-  });
+  parallel_rows_by_bytes(
+      items, [&](size_t) { return itemsize; },
+      [&](size_t lo, size_t hi, int) {
+        for (size_t i = lo; i < hi; ++i)
+          for (size_t b = 0; b < itemsize; ++b)
+            out[b * items + i] = in[i * itemsize + b];
+      });
 }
 
 void dctz_unshuffle(const uint8_t* in, size_t n, size_t itemsize,
                     uint8_t* out) {
   size_t items = n / itemsize;
-  parallel_slices(items, 1, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i)
-      for (size_t b = 0; b < itemsize; ++b)
-        out[i * itemsize + b] = in[b * items + i];
-  });
+  parallel_rows_by_bytes(
+      items, [&](size_t) { return itemsize; },
+      [&](size_t lo, size_t hi, int) {
+        for (size_t i = lo; i < hi; ++i)
+          for (size_t b = 0; b < itemsize; ++b)
+            out[i * itemsize + b] = in[b * items + i];
+      });
 }
 
 }  // extern "C"

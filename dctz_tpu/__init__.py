@@ -14,6 +14,30 @@ Quick start:
     y = dctz_tpu.decompress(blob)
 """
 
+def _tune_malloc() -> None:
+    """Keep multi-MB host buffers on the glibc heap instead of per-call
+    mmap/munmap: the container stages allocate and free 10-20 MB byte
+    strings per 128 MB array, and fresh-mapped pages fault at wildly
+    variable cost (measured 16 ms median -> 2.9 ms for a 16 MB join on the
+    dev host). Opt out with DCTZ_NO_MALLOPT=1."""
+    import ctypes
+    import os
+    import sys
+
+    if os.environ.get("DCTZ_NO_MALLOPT") or not sys.platform.startswith(
+        "linux"
+    ):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except OSError:  # pragma: no cover - non-glibc linux
+        pass
+
+
+_tune_malloc()
+
 from .api import compress, compress_sharded, decompress, decompress_sharded
 from .config import CodecConfig
 from .core.constants import BLK_SZ, NBINS, VERSION

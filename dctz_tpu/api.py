@@ -692,8 +692,8 @@ def _dpk_host_rebuild(header: ct.Header, streams):
         if header.dpkz:
             return entropy.chunked_inflate(packed_raw)
         if header.dpkr:
-            return native.rans_decompress(b"".join(packed_raw))
-        return b"".join(packed_raw)
+            return native.rans_decompress(entropy.join_chunks(packed_raw))
+        return entropy.join_chunks(packed_raw)  # zero-copy for verbatim views
 
     def _exc_task():  # zst/rans flags cover the exceptions in DPK containers
         if header.zst:

@@ -381,19 +381,23 @@ def parse_v2(
             off += 4 * count
     if version >= 3:
         (hdr_crc,) = struct.unpack_from("<I", blob, off)
-        if (zlib.crc32(bytes(blob[:off])) & 0xFFFFFFFF) != hdr_crc:
+        if (zlib.crc32(blob[:off]) & 0xFFFFFFFF) != hdr_crc:
             raise ValueError(
                 "corrupted container: header/table crc mismatch"
             )
         off += 4
-    streams: list[list[bytes]] = []
-    flat: list[bytes] = []  # all chunks in order, for the parallel crc pass
+    streams: list[list[memoryview]] = []
+    flat: list[memoryview] = []  # all chunks in order, for the parallel crc
     for si, sizes in enumerate(tables):
         chunks = []
         for sz in sizes:
             if off + sz > len(blob):
                 raise ValueError("truncated container: chunk past end")
-            chunks.append(bytes(blob[off : off + sz]))
+            # zero-copy views into the container (copying every chunk cost
+            # ~5 ms + page-fault noise per 128 MB on the 4-core host); the
+            # views keep `blob` alive, and every consumer (zlib/zstd/rANS/
+            # numpy/b"".join) accepts buffer objects
+            chunks.append(blob[off : off + sz])
             off += sz
         flat.extend(chunks)
         streams.append(chunks)

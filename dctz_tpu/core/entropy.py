@@ -149,8 +149,7 @@ def deflate(
 
 
 def inflate(data: bytes | memoryview, expected_size: int | None = None) -> bytes:
-    out = zlib.decompress(bytes(data), _WBITS, expected_size or 0)
-    return out
+    return zlib.decompress(data, _WBITS, expected_size or 0)
 
 
 def deflate_streams(
@@ -248,6 +247,33 @@ def unshuffle_bytes(data: bytes | memoryview, itemsize: int) -> bytes:
     if native.available():
         return native.unshuffle(a, itemsize)
     return np.ascontiguousarray(a.reshape(itemsize, -1).T).tobytes()
+
+
+def join_chunks(chunks: Sequence[bytes | memoryview]) -> bytes | memoryview:
+    """b"".join that detects consecutive memoryviews over one base object
+    (the parse_v2 zero-copy layout) and returns a single view instead of
+    copying — stored-verbatim DPK sections never leave the container
+    buffer this way."""
+    if len(chunks) == 1:
+        return chunks[0]
+    if chunks and all(isinstance(c, memoryview) for c in chunks):
+        base = chunks[0].obj
+        if all(c.obj is base for c in chunks):
+            import numpy as np
+
+            whole = np.frombuffer(base, np.uint8)
+            offs = [
+                np.frombuffer(c, np.uint8).ctypes.data - whole.ctypes.data
+                for c in chunks
+            ]
+            if all(
+                offs[i] + len(chunks[i]) == offs[i + 1]
+                for i in range(len(chunks) - 1)
+            ):
+                start = offs[0]
+                end = offs[-1] + len(chunks[-1])
+                return memoryview(base)[start:end]
+    return b"".join(chunks)
 
 
 def take_row_prefixes(rows, lens) -> "np.ndarray":

@@ -214,6 +214,13 @@ def pack_rows(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
     lib = _load()
     rows = np.ascontiguousarray(rows, np.uint8)
     lens32 = np.ascontiguousarray(lens, np.uint32)
+    if rows.ndim != 2 or lens32.ndim != 1 or lens32.size != rows.shape[0]:
+        raise ValueError(
+            f"pack_rows expects (n_rows, cap) rows + (n_rows,) lens, got "
+            f"{rows.shape} / {lens32.shape}"
+        )
+    if lens32.size and int(lens32.max()) > rows.shape[1]:
+        raise ValueError("row length exceeds capacity")
     out = np.empty(int(lens32.sum()), np.uint8)
     n = lib.dctz_pack_rows(
         rows.ctypes.data,
@@ -231,6 +238,11 @@ def unpack_rows(tight: np.ndarray, lens: np.ndarray, cap: int) -> np.ndarray:
     lib = _load()
     tight = np.ascontiguousarray(tight, np.uint8)
     lens32 = np.ascontiguousarray(lens, np.uint32)
+    if tight.ndim != 1 or lens32.ndim != 1:
+        raise ValueError(
+            f"unpack_rows expects 1-D tight + 1-D lens, got "
+            f"{tight.shape} / {lens32.shape}"
+        )
     rows = np.empty((lens32.size, cap), np.uint8)
     n = lib.dctz_unpack_rows(
         tight.ctypes.data, lens32.size, cap, lens32.ctypes.data, rows.ctypes.data

@@ -53,6 +53,7 @@ def _device_cfg(cfg: CodecConfig) -> CodecConfig:
         host_codec="auto",
         chunk_bytes=1 << 22,
         internal_dtype="auto",
+        segment_elems=None,
     )
 
 
@@ -205,15 +206,36 @@ def _fused_eligible(cfg: CodecConfig, arr: jax.Array, n: int) -> bool:
     n % 1024 == 0 (no padding allowed in the reference stream layout)."""
     from .ops.compaction import use_chunked_compaction
 
-    return (
+    base = (
         cfg.mode in ("ec", "qt")
         and cfg.truncate
         and cfg.block_size == 64
         and cfg.nbins == C.NBINS
-        and cfg.brsf == 1.0
         and arr.dtype == jnp.float32
         and use_chunked_compaction()
         and (cfg.container == "v2" or n % 1024 == 0)
+    )
+    if not base:
+        return False
+    if cfg.brsf == 1.0:
+        return True
+    # brsf != 1 (the auto-rate geometry) rides only the single-program
+    # x-input kernel, which takes the bin geometry as an operand; the other
+    # fused branches hardcode brsf=1 — they must fall back to the XLA chain
+    from .core.quantize import chunk_width
+    from .ops import dpk_fuse, idpack
+
+    n_pad = n + ((-n) % 1024)
+    return (
+        cfg.container == "v2"
+        and cfg.ids_codec == "device"
+        and dpk_fuse.enabled()
+        and dpk_fuse.encode_eligible(
+            idpack.B_DEFAULT,
+            cfg.block_size,
+            chunk_width(n_pad, cfg.block_size),
+            cfg.nbins,
+        )
     )
 
 
@@ -1067,6 +1089,114 @@ def _quantize_brsf(cfg: CodecConfig) -> CodecConfig:
     return cfg
 
 
+_FALLBACK_WARNED: set[str] = set()
+
+
+def _warn_fused_fallback(cfg: CodecConfig, arr: jax.Array, n: int) -> None:
+    """One-line heads-up when a TPU user's config silently drops off the
+    fused Pallas kernels onto the XLA chain (measured ~2-3x lower device
+    throughput — docs/benchmarks.md fallback table). Warns once per reason
+    per process; small arrays are exempt (the chain is fine there)."""
+    if not _tpu_like_backend() or n < (1 << 20):
+        return
+    reasons = []
+    if arr.dtype != jnp.float32:
+        reasons.append(f"dtype {arr.dtype} (fused kernels are float32)")
+    if cfg.block_size != C.BLK_SZ:
+        reasons.append(f"block_size {cfg.block_size} != 64")
+    if cfg.nbins != C.NBINS:
+        reasons.append(f"nbins {cfg.nbins} != 255")
+    if not cfg.truncate:
+        reasons.append("truncate=False")
+    if cfg.container == "v1" and n % 1024:
+        reasons.append("v1 container with n % 1024 != 0")
+    if cfg.brsf != 1.0:
+        reasons.append(
+            "brsf != 1 outside the device-coded v2 path"
+        )
+    if not reasons:
+        reasons.append("backend/geometry gate (ops/dpk_fuse.encode_eligible)")
+    key = "; ".join(reasons)
+    if key in _FALLBACK_WARNED:
+        return
+    _FALLBACK_WARNED.add(key)
+    warnings.warn(
+        f"config falls back to the XLA chain on this TPU backend ({key}); "
+        "expect ~2-3x lower device throughput — see docs/benchmarks.md "
+        "fallback table",
+        stacklevel=3,
+    )
+
+
+# auto-rate (cfg.rate="auto"): candidate bin-range scale factors, the
+# container grid's powers of two. The size-vs-brsf curve is unimodal in
+# practice (wider bins shrink the id stream until repair escapes dominate),
+# so the ladder stops once size turns upward.
+AUTO_RATE_LADDER = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
+_AUTO_SAMPLE_ELEMS = 1 << 22  # trial encodes run on <= 16 MB of samples
+
+
+def _rate_sample(arr, n: int, block_size: int):
+    """Block-aligned slices spread across the array (trial encodes must see
+    representative statistics without paying full-array cost)."""
+    if n <= _AUTO_SAMPLE_ELEMS:
+        return arr
+    k = 8
+    seg = _AUTO_SAMPLE_ELEMS // k
+    seg -= seg % block_size
+    step = (n - seg) // (k - 1)
+    step -= step % block_size
+    parts = [arr[i * step : i * step + seg] for i in range(k)]
+    xp = jnp if isinstance(arr, jax.Array) else np
+    return xp.concatenate(parts)
+
+
+def _auto_rate_brsf(arr, n: int, cfg: CodecConfig) -> float:
+    """Pick the ladder brsf with the smallest compressed size on a sample.
+
+    Every trial runs the REAL encoder (verify-repair on), so the chosen
+    geometry's bound behavior is exactly what the final encode ships."""
+    sample = _rate_sample(arr, n, cfg.block_size)
+    best_b, best_sz = 1.0, None
+    for b in AUTO_RATE_LADDER:
+        trial_cfg = dataclasses.replace(
+            cfg, brsf=b, rate="fixed", segment_elems=None, verify=True
+        )
+        sz = len(compress(sample, config=trial_cfg))
+        if best_sz is None or sz < best_sz:
+            best_b, best_sz = b, sz
+        elif sz > best_sz * 1.02:
+            break  # the curve turned upward; escapes now dominate
+    return best_b
+
+
+def _resolve_segment(cfg: CodecConfig, n: int) -> int | None:
+    """Segment size for the pipelined DTZS path, or None for monolithic.
+
+    "auto" (the default) engages DEFAULT_SEGMENT-element frames for v2 EC
+    arrays of >= stream.AUTO_THRESHOLD elements, so the host entropy stage
+    overlaps device compute instead of serializing after it. v1 stays
+    monolithic (the reference container has no framing); QT stays
+    monolithic under "auto" because the quantizer table is a whole-array
+    reduction — per-frame tables are self-consistent but not stream-
+    identical to the monolithic encoding (an explicit segment_elems opts
+    in)."""
+    from . import stream as dstream
+
+    se = cfg.segment_elems
+    if se == "auto":
+        if (
+            cfg.container == "v2"
+            and cfg.mode == "ec"
+            and n >= dstream.AUTO_THRESHOLD
+        ):
+            return dstream.DEFAULT_SEGMENT
+        return None
+    if se and n >= 2 * se:
+        return se
+    return None
+
+
 def _resolve_ids_codec(cfg: CodecConfig) -> CodecConfig:
     """ids_codec="auto" means the best coder for the backend: the device
     (DPK) coder on TPU backends with v2 containers — the id stream leaves
@@ -1125,6 +1255,17 @@ def compress(
 
     timer = timer or StageTimer()
     cfg = config or CodecConfig(mode=mode, error_bound=error_bound)
+    if cfg.rate == "auto":
+        if cfg.container == "v1":
+            warnings.warn(
+                "rate='auto' needs the v2 container (brsf lives in its "
+                "header); writing v2 instead",
+                stacklevel=2,
+            )
+            cfg = dataclasses.replace(cfg, container="v2")
+        if not cfg.verify:
+            # the widened geometry relies on verify-repair for the bound
+            cfg = dataclasses.replace(cfg, verify=True)
     if cfg.container == "v1" and (
         cfg.block_size != C.BLK_SZ or cfg.nbins != C.NBINS
     ):
@@ -1154,10 +1295,18 @@ def compress(
     if n == 0:
         raise ValueError("cannot compress an empty array")
 
-    if cfg.segment_elems and n >= 2 * cfg.segment_elems:
-        # pipelined path: device encode of segment k+1 overlaps host
-        # packing of segment k; emits a DTZS stream (decompress()
-        # auto-detects and pipelines the inverse)
+    if cfg.rate == "auto":
+        cfg = dataclasses.replace(
+            cfg, brsf=_auto_rate_brsf(arr, n, cfg), rate="fixed"
+        )
+
+    seg = _resolve_segment(cfg, n)
+    if seg:
+        # pipelined path (the DEFAULT for large v2 EC arrays, cfg.segment_
+        # elems="auto"): device encode of segment k+1 overlaps host packing
+        # of segment k; emits a DTZS stream (decompress() auto-detects and
+        # pipelines the inverse). Device-resident input stays on device —
+        # stats reduce there and segments are HBM slices.
         import io
 
         from . import stream as dstream
@@ -1165,10 +1314,7 @@ def compress(
         buf = io.BytesIO()
         with timer.stage("pipeline"):
             dstream.compress_stream(
-                arr if isinstance(arr, np.ndarray) else np.asarray(arr),
-                buf,
-                config=cfg,
-                segment_elems=cfg.segment_elems,
+                arr, buf, config=cfg, segment_elems=seg
             )
         return buf.getvalue()
 
@@ -1176,6 +1322,7 @@ def compress(
         with _f32_device_trace(arr.dtype):
             return _compress_fused(arr, n, cfg, src_dtype, timer)
 
+    _warn_fused_fallback(cfg, arr, n)
     dpk = cfg.container == "v2" and cfg.ids_codec == "device"
     with timer.stage("device"), _f32_device_trace(arr.dtype):
         dcfg = _device_cfg(cfg)
@@ -1306,12 +1453,13 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
 
     timer = timer or StageTimer()
     if bytes(memoryview(blob)[:4]) == b"DTZS":
-        # segmented stream container (stream.py)
-        import io
-
+        # segmented stream container (stream.py) — zero-copy frame reads;
+        # the output buffer is allocated once (peak extra memory ~ one
+        # segment). For > RAM arrays use stream.decompress_stream directly.
         from . import stream as _stream
 
-        return _stream.decompress_stream_all(io.BytesIO(bytes(blob)))
+        with timer.stage("pipeline"):
+            return _stream.decompress_stream_all(_stream.MemReader(blob))
     is_v2 = ct.detect_format(blob) == "v2"
     if is_v2:
         with timer.stage("host"):  # chunk split + crc verify = host work
@@ -1436,25 +1584,37 @@ def compress_sharded(
     cfg = _quantize_brsf(cfg)
     cfg = _resolve_ids_codec(cfg)
     src_dtype = np.dtype(getattr(x, "dtype", np.float64))
-    arr = np.asarray(jax.device_get(x)).reshape(-1)
-    if arr.dtype == np.float64 and (
-        cfg.internal_dtype == "float32"
-        or not jax.config.jax_enable_x64
-        or _f64_fast_eligible(cfg)  # f64 fast path (docs/numerics.md)
-    ):
-        arr = arr.astype(np.float32)
-    n = int(arr.shape[0])
-    if n == 0:
-        raise ValueError("cannot compress an empty array")
 
     from .ops import compaction as cp
     from .ops import idpack
 
     dpk = cfg.ids_codec == "device"
     mesh = mesh or sh.make_mesh()
-    x_sharded, n_pad = sh.shard_input(
-        arr, mesh, cfg.block_size, idpack.B_DEFAULT if dpk else 1
+    quantum = idpack.B_DEFAULT if dpk else 1
+    promote = src_dtype == np.float64 and (
+        cfg.internal_dtype == "float32"
+        or not jax.config.jax_enable_x64
+        or _f64_fast_eligible(cfg)  # f64 fast path (docs/numerics.md)
     )
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        # device-resident input: flatten/promote/pad/reshard ON DEVICE —
+        # the array never visits the host (VERDICT round-3 #4)
+        n = int(np.prod(x.shape))
+        if n == 0:
+            raise ValueError("cannot compress an empty array")
+        arr = x  # dtype bookkeeping only below
+        x_sharded, n_pad = sh.shard_input_device(
+            x, mesh, cfg.block_size, quantum, promote_f32=promote
+        )
+    else:
+        arr = np.asarray(x).reshape(-1)
+        if arr.dtype == np.float64 and promote:
+            arr = arr.astype(np.float32)
+        n = int(arr.shape[0])
+        if n == 0:
+            raise ValueError("cannot compress an empty array")
+        x_sharded, n_pad = sh.shard_input(arr, mesh, cfg.block_size, quantum)
+    arr = x_sharded  # downstream uses dtype only
     n_dev = mesh.devices.size
     layout = "chunked" if cp.use_chunked_compaction() else "global"
 

@@ -75,10 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sharded", action="store_true", help="shard over the mesh")
     p.add_argument(
         "--segment-elems",
-        type=int,
-        default=None,
+        type=lambda s: s if s == "auto" else int(s),
+        default="auto",
         help="pipeline compress through DTZS segments of this many elements "
-        "(device/host overlap; decompress auto-detects)",
+        "(device/host overlap; decompress auto-detects). Default 'auto' "
+        "pipelines large v2 EC arrays; 0 forces monolithic",
     )
     p.add_argument("--json", action="store_true", help="emit a metrics JSON line")
     p.add_argument(

@@ -125,10 +125,24 @@ class CodecConfig:
     chunk_bytes: int = 1 << 20
     internal_dtype: Literal["auto", "float32"] = "auto"
     verify: bool = False
+    #: rate selection. "fixed" uses cfg.brsf as given (reference semantics:
+    #: bin width = 2*eb*brsf, compile-time BRSF=1). "auto" converts surplus
+    #: fidelity into ratio: the encoder picks the widest bin geometry
+    #: (brsf on the container's 2**(k/8) grid) whose compressed size is
+    #: smallest, while verify-repair — forced on — keeps the POINTWISE
+    #: bound guaranteed at eb exactly as for brsf=1 (escapes absorb what
+    #: wider bins can no longer represent). At matched bound this recovers
+    #: the ~50 dB of fidelity the fixed geometry over-delivers
+    #: (BASELINE.md rate-distortion tables). v2 containers only.
+    rate: Literal["fixed", "auto"] = "fixed"
     #: segment the monolithic compress() into a pipelined DTZS stream when
     #: the input exceeds 2x this element count (device encode of segment k+1
-    #: overlaps host packing of segment k; stream.py). None = monolithic.
-    segment_elems: int | None = None
+    #: overlaps host packing of segment k; stream.py). "auto" (default)
+    #: engages the pipeline for v2 containers above stream.AUTO_THRESHOLD
+    #: elements — the host stage then overlaps device compute instead of
+    #: serializing after it (VERDICT round-3 #1). None/0 = always
+    #: monolithic; an int = explicit segment size.
+    segment_elems: int | Literal["auto"] | None = "auto"
 
     def __post_init__(self) -> None:
         if self.mode not in ("ec", "qt"):

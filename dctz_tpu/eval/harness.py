@@ -57,6 +57,19 @@ def run_one(
         blob = native.compress(x, error_bound, mode, verify=verify)
         t1 = time.perf_counter()
         rec = native.decompress(blob)
+    elif engine == "auto":
+        # rate="auto": the encoder widens the bin geometry per array until
+        # the size turns — the bound stays guaranteed (verify forced on).
+        # The rate-distortion row Z-Checker would grade at matched bound.
+        from .. import compress, decompress
+
+        cfg = CodecConfig(
+            mode=mode, error_bound=error_bound, container="v2",
+            rate="auto", verify=True,
+        )
+        blob = compress(x, config=cfg)
+        t1 = time.perf_counter()
+        rec = decompress(blob)
     elif engine == "sharded":
         from .. import compress_sharded, decompress_sharded
 
@@ -152,6 +165,33 @@ def run_sz_like(ds: Dataset, error_bound: float, data_dir: str | None = None) ->
     }
 
 
+PSNR_CURVE_BOUNDS = (3e-3, 1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 3e-6, 1e-6)
+
+
+def psnr_curve(
+    suite: str,
+    data_dir: str | None = None,
+    progress=print,
+    bounds=PSNR_CURVE_BOUNDS,
+):
+    """Rate-distortion curves on the PSNR axis — the comparison Z-Checker
+    actually plots (zc-patches/zc-ratedistortion.sh:40-48): for each dataset
+    both codecs sweep a dense bound ladder and record (bits/value, PSNR).
+    Matched-PSNR ratios come from interpolating these curves; the CSV keeps
+    both codecs' raw points so any PSNR target can be read off."""
+    rows = []
+    for ds in SUITES[suite]:
+        for eb in bounds:
+            rows.append(run_sz_like(ds, eb, data_dir))
+            progress(json.dumps(rows[-1]))
+            rows.append(run_one(ds, eb, "ec", "auto", data_dir, True))
+            progress(json.dumps(rows[-1]))
+    for r in rows:
+        itembits = 64 if r["dtype"] == "float64" else 32
+        r["bits_per_value"] = round(itembits / r["ratio"], 4)
+    return rows
+
+
 def sweep(
     suite: str,
     bounds=DEFAULT_BOUNDS,
@@ -190,7 +230,13 @@ def main(argv=None) -> int:
         "--engines",
         nargs="+",
         default=["jax"],
-        choices=["jax", "native", "sharded"],
+        choices=["jax", "native", "sharded", "auto"],
+    )
+    p.add_argument(
+        "--psnr-curve",
+        action="store_true",
+        help="emit matched-PSNR rate-distortion curves (dctz rate=auto vs "
+        "sz_like over a dense bound ladder) instead of the bound sweep",
     )
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out", default=None, help="CSV output path")
@@ -216,14 +262,17 @@ def main(argv=None) -> int:
     if args.backend == "cpu":
         jax.config.update("jax_enable_x64", True)
 
-    rows = sweep(
-        args.suite,
-        args.bounds,
-        args.modes,
-        args.engines,
-        data_dir=args.data_dir,
-        verify=not args.no_verify,
-    )
+    if args.psnr_curve:
+        rows = psnr_curve(args.suite, data_dir=args.data_dir)
+    else:
+        rows = sweep(
+            args.suite,
+            args.bounds,
+            args.modes,
+            args.engines,
+            data_dir=args.data_dir,
+            verify=not args.no_verify,
+        )
     if args.out:
         with open(args.out, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

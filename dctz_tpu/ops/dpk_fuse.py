@@ -162,8 +162,10 @@ def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
         acx = shuffle.route_expand(esc_in_exc, ac_ref[:], colc)
 
         col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
+        # exception bytes ride the control word's low 8 bits (one fewer
+        # roll per stage); only the f32 AC payload rolls separately
         exc3, ac3 = shuffle.route_expand(
-            mask3.astype(jnp.int32), (exc_i, acx), col3
+            mask3.astype(jnp.int32), (acx,), col3, byte_rows=exc_i
         )
         ids3 = jnp.where(mask3, exc3, nib3)
         dcpos = (col3 % BS) == 0
@@ -238,7 +240,8 @@ def encode_eligible(b: int, bs: int, cw: int, nbins: int = C.NBINS) -> bool:
 
 
 def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref):
+               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
+               scr_n=None):
     """Shared encode tile body: width selection, bit packing, unified
     butterfly compaction, counts, DC extraction. nib_tm is the TILE-major
     (64, 256) nibble grid; idsc/vals3 the chunk-major (cpt, cw) id/value
@@ -318,7 +321,7 @@ def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
 
     col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
     exc_b, ac = shuffle.route_compact_unified(
-        mask3, idsc, vals3, cape_k, capc_k, col3
+        mask3, idsc, vals3, cape_k, capc_k, col3, narrow_scr=scr_n
     )
     exc_ref[:] = exc_b.astype(jnp.uint8)
     ac_ref[:] = ac
@@ -336,7 +339,7 @@ def _make_encode_kernel(cw: int, cape_k: int, capc_k: int):
     g = cw // BS
 
     def kernel(nv_ref, ids_ref, dcac_ref, w8_ref, pk_ref, exc_ref, ac_ref,
-               cnt_ref, dc_ref, scr_i, scr_f):
+               cnt_ref, dc_ref, scr_i, scr_f, scr_n):
         t = pl.program_id(0)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, BS), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, BS), 1)
@@ -361,7 +364,8 @@ def _make_encode_kernel(cw: int, cape_k: int, capc_k: int):
         vals3 = jnp.concatenate([scr_f[i::g, :] for i in range(g)], axis=1)
 
         _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref)
+                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
+                   scr_n=scr_n)
 
     return kernel
 
@@ -387,7 +391,7 @@ def _make_encode_x_kernel(
             qt_ref = rest[0]
             rest = rest[1:]
         (w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref, ok_ref,
-         scr_i, scr_f, ok_s) = rest
+         scr_i, scr_f, ok_s, scr_n) = rest
         t = pl.program_id(0)
         rmin = geom_ref[0]
         rmax = geom_ref[1]
@@ -434,7 +438,7 @@ def _make_encode_x_kernel(
             samp_valid = gpos < nv_ref[0]
             denom = eb * qtf
 
-            def reconstruct(ids_c):
+            def hat_of(ids_c):
                 escape = ac_mask & (ids_c == C.ESCAPE)
                 k2 = ids_c // 2
                 cent = jnp.where(ids_c % 2 == 1, k2 + 1, -k2).astype(
@@ -447,7 +451,15 @@ def _make_encode_x_kernel(
                 else:
                     esc_val = coef
                 hat = jnp.where(escape, esc_val, cent)
-                hat = jnp.where(is_dc, coef, hat)
+                return jnp.where(is_dc, coef, hat)
+
+            def _blkmax(a):
+                bl = jnp.max(a[:, :BS], axis=1, keepdims=True)
+                br = jnp.max(a[:, BS:], axis=1, keepdims=True)
+                return jnp.where(col < BS, bl, br)  # per-block, full grid
+
+            def reconstruct(ids_c):
+                hat = hat_of(ids_c)
                 xhat = jnp.dot(
                     hat, bdi_ref[:],
                     preferred_element_type=jnp.float32,
@@ -455,33 +467,49 @@ def _make_encode_x_kernel(
                 ) * sf_ref[0]
                 err = jnp.abs(xhat - x_ref[:])
                 err = jnp.where(samp_valid, err, 0.0)
-                bl = jnp.max(err[:, :BS], axis=1, keepdims=True)
-                br = jnp.max(err[:, BS:], axis=1, keepdims=True)
-                blk = jnp.where(col < BS, bl, br)  # per-block max, full grid
+                blk = _blkmax(err)
                 e_ij = jnp.abs(coef - hat)
                 return blk, e_ij
 
-            # early-out: one check pass; the two repair passes + re-check
-            # run ONLY on tiles with a violating block (repair is a no-op
-            # on clean tiles — bit-identical either way). scr_i carries the
-            # repaired ids out of the predicated block; it is overwritten
-            # with the validity-masked ids below.
-            blk0, _ = reconstruct(ids)
-            any_viol = jnp.max(jnp.where(blk0 > tol, 1.0, 0.0))
+            # L2 screen (round 4, docs/verification.md): the IDCT basis is
+            # orthonormal, so every sample's reconstruction error obeys
+            # |(IDCT delta)_i| <= ||delta_block||_2 with delta = hat - coef.
+            # Blocks whose sf*||delta||_2 sits inside the tolerance minus a
+            # transform-rounding budget (32 eps * max|xs|, covering the
+            # f32 DCT/IDCT round trip and the xs = x/sf rounding) need NO
+            # reconstruct pass at all — the exact check + repair run only
+            # on tiles the screen flags. VPU-only: two row reductions
+            # replace the always-on IDCT matmul (~1.6 ms/128 MB).
+            d0 = hat_of(ids) - coef
+            d2 = d0 * d0
+            s_l = jnp.sum(d2[:, :BS], axis=1, keepdims=True)
+            s_r = jnp.sum(d2[:, BS:], axis=1, keepdims=True)
+            l2b = jnp.where(col < BS, s_l, s_r)
+            mxb = _blkmax(jnp.abs(xs))
+            eps32 = jnp.float32(1.1920929e-07)
+            thr = tol / sf_ref[0] - 32.0 * eps32 * mxb
+            screened = l2b > thr * thr
+            screened = screened | (thr <= 0.0)
+            any_screen = jnp.max(jnp.where(screened, 1.0, 0.0))
             scr_i[:] = ids
             ok_s[0] = 1.0
 
-            @pl.when(any_viol > 0.0)
-            def _repair():
-                ids_r = scr_i[:]
-                for pass_floor in (w / 8, w * 1e-3):
-                    blk, e_ij = reconstruct(ids_r)
-                    floor = jnp.maximum(pass_floor, qt_floor)
-                    force = (blk > tol) & ac_mask & (e_ij > floor)
-                    ids_r = jnp.where(force, C.ESCAPE, ids_r)
-                blk, _ = reconstruct(ids_r)
-                scr_i[:] = ids_r
-                ok_s[0] = 1.0 - jnp.max(jnp.where(blk > tol, 1.0, 0.0))
+            @pl.when(any_screen > 0.0)
+            def _exact():
+                blk0, _ = reconstruct(scr_i[:])
+                any_viol = jnp.max(jnp.where(blk0 > tol, 1.0, 0.0))
+
+                @pl.when(any_viol > 0.0)
+                def _repair():
+                    ids_r = scr_i[:]
+                    for pass_floor in (w / 8, w * 1e-3):
+                        blk, e_ij = reconstruct(ids_r)
+                        floor = jnp.maximum(pass_floor, qt_floor)
+                        force = (blk > tol) & ac_mask & (e_ij > floor)
+                        ids_r = jnp.where(force, C.ESCAPE, ids_r)
+                    blk, _ = reconstruct(ids_r)
+                    scr_i[:] = ids_r
+                    ok_s[0] = 1.0 - jnp.max(jnp.where(blk > tol, 1.0, 0.0))
 
             ids = scr_i[:]
 
@@ -532,7 +560,8 @@ def _make_encode_x_kernel(
         )
 
         _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref)
+                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
+                   scr_n=scr_n)
 
     return kernel
 
@@ -641,6 +670,7 @@ def encode_x_fused(
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((128, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((cpt, cape_k), jnp.float32),  # narrow tighten
         ],
         interpret=_INTERPRET,
     )(np1, nv1, sf1, geom, x2, bdf, bdi, *qt_args)
@@ -732,6 +762,7 @@ def encode_fused(
         scratch_shapes=[
             pltpu.VMEM((TILE_B, BS), jnp.int32),
             pltpu.VMEM((TILE_B, BS), jnp.float32),
+            pltpu.VMEM((cpt, cape_k), jnp.float32),  # narrow tighten
         ],
         interpret=_INTERPRET,
     )(nv, ids_p, dcac_p)

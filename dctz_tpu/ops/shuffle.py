@@ -95,6 +95,43 @@ def _shr(a, s, col, fill):
     return jnp.where(col >= s, r, jnp.full_like(r, fill))
 
 
+# Liveness encoding for the network control words (round 4): a LIVE bit at
+# bit 30 instead of the old "dead = -1" sign convention. A dead word is ALL
+# ZEROS, so the per-stage "does this element move" test collapses from
+# (word >= 0) & (((word >> k) & 1) == 1)   [5 VPU ops]
+# to
+# (word & (1 << k)) != 0                   [2 VPU ops]
+# — dead words have no bits set and can never move. ~20% fewer VPU ops per
+# stage across all networks (the stages are the encode/decode cost center,
+# docs/scaling.md). Outputs are bit-identical (tests/test_shuffle.py).
+_LIVE = 1 << 30
+
+
+def _stage_left(comb, vs, s, col, cw, bit):
+    """One LEFT-shift stage on the control word + payloads. The roll-wrap
+    mask is folded into the take test (tk is False on the wrapped tail), so
+    each stage costs 1 roll + ~4 ops per payload-free word instead of the
+    old roll + cmp + 2 wheres."""
+    mv = (comb & bit) != 0
+    cs = pltpu.roll(comb, cw - s, axis=1)
+    tk = ((cs & bit) != 0) & (col < cw - s)
+    vs = tuple(
+        jnp.where(tk, pltpu.roll(v, cw - s, axis=1), v) for v in vs
+    )
+    comb = jnp.where(tk, cs, jnp.where(mv, 0, comb))
+    return comb, vs
+
+
+def _stage_right(comb, vs, s, col, bit):
+    """Mirror stage shifting RIGHT (the expand phase-2 direction)."""
+    mv = (comb & bit) != 0
+    cs = pltpu.roll(comb, s, axis=1)
+    tk = ((cs & bit) != 0) & (col >= s)
+    vs = tuple(jnp.where(tk, pltpu.roll(v, s, axis=1), v) for v in vs)
+    comb = jnp.where(tk, cs, jnp.where(mv, 0, comb))
+    return comb, vs
+
+
 _CUMSUM_MM = True  # inclusive prefix sum on the MXU (A/B hook; see below)
 
 
@@ -130,50 +167,74 @@ def _cumsum(m_i32, col, cw):
 # ---------------------------------------------------------------------------
 
 
-def route_compact_unified(m_i32, idb_i32, vals, cape: int, capc: int, col):
+def route_compact_unified(
+    m_i32, idb_i32, vals, cape: int, capc: int, col, narrow_scr=None
+):
     """Unified compact network on ARRAYS (shared by _k_compact_unified and
     ops/dpk_fuse.encode_fused): compact (id byte, value) by the exception
     mask, then tighten the values whose compacted byte is ESCAPE into the
-    AC rows. Returns (exc_bytes (R, cape) i32, ac (R, capc) f32)."""
+    AC rows. Returns (exc_bytes (R, cape) i32, ac (R, capc) f32).
+
+    narrow_scr: optional (R, cape_k) f32 VMEM scratch REF. When given (and
+    the capacities fit), the tighten pass runs at cape_k lanes instead of
+    the full cw — everything it routes lives in the compacted prefix, so
+    distances are < cape; the scratch write/read realigns the slice to lane
+    offset 0 (Mosaic cannot roll a mid-kernel slice directly). 4x less
+    roll/select traffic over the tighten's log2(cape) stages."""
     cw = m_i32.shape[1]
     cum = _cumsum(m_i32, col, cw)
     d = col - (cum - 1)
-    comb = jnp.where(m_i32 != 0, (d << 8) | idb_i32, -1)
+    comb = jnp.where(m_i32 != 0, _LIVE | (d << 8) | idb_i32, 0)
     vv = vals
     k = 8
     s = 1
     while s < cw:
-        mv = (comb >= 0) & (((comb >> k) & 1) == 1)
-        cs = _shl(comb, s, col, cw, -1)
-        tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        vv = jnp.where(tk, _shl(vv, s, col, cw, 0.0), vv)
-        comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
+        comb, (vv,) = _stage_left(comb, (vv,), s, col, cw, 1 << k)
         k += 1
         s *= 2
-    live = comb >= 0
-    kv = live & (col < cape)
+    kv = (comb >= _LIVE) & (col < cape)
     exc_b = jnp.where(kv, comb & 255, 0)
     uv = jnp.where(kv, vv, 0.0)
 
     # tighten: AC escapes out of the union prefix (distances < cape)
+    if (
+        narrow_scr is not None
+        and cape <= narrow_scr.shape[1]
+        and capc <= narrow_scr.shape[1]
+        and narrow_scr.shape[1] < cw
+    ):
+        cape_k = narrow_scr.shape[1]
+        narrow_scr[:] = uv[:, :cape_k]
+        u = narrow_scr[:]
+        coln = jax.lax.broadcasted_iota(
+            jnp.int32, (m_i32.shape[0], cape_k), 1
+        )
+        # dead slots hold byte 0 != ESCAPE, so the prefix test is implicit
+        esc = (exc_b[:, :cape_k] == C.ESCAPE).astype(jnp.int32)
+        cum2 = _cumsum(esc, coln, cape_k)
+        comb2 = jnp.where(esc != 0, _LIVE | (coln - (cum2 - 1)), 0)
+        k = 0
+        s = 1
+        while s < cape:
+            comb2, (u,) = _stage_left(comb2, (u,), s, coln, cape_k, 1 << k)
+            k += 1
+            s *= 2
+        ac = jnp.where(comb2[:, :capc] >= _LIVE, u[:, :capc], 0.0)
+        return exc_b[:, :cape], ac
     esc = (kv & (exc_b == C.ESCAPE)).astype(jnp.int32)
     cum2 = _cumsum(esc, col, cw)
-    comb2 = jnp.where(esc != 0, col - (cum2 - 1), -1)
+    comb2 = jnp.where(esc != 0, _LIVE | (col - (cum2 - 1)), 0)
     k = 0
     s = 1
     while s < cape:
-        mv = (comb2 >= 0) & (((comb2 >> k) & 1) == 1)
-        cs = _shl(comb2, s, col, cw, -1)
-        tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        uv = jnp.where(tk, _shl(uv, s, col, cw, 0.0), uv)
-        comb2 = jnp.where(tk, cs, jnp.where(mv, -1, comb2))
+        comb2, (uv,) = _stage_left(comb2, (uv,), s, col, cw, 1 << k)
         k += 1
         s *= 2
-    ac = jnp.where(comb2[:, :capc] >= 0, uv[:, :capc], 0.0)
+    ac = jnp.where(comb2[:, :capc] >= _LIVE, uv[:, :capc], 0.0)
     return exc_b[:, :cape], ac
 
 
-def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
+def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref, scr_n):
     """Pallas wrapper around route_compact_unified (see there)."""
     cape = exc_ref.shape[1]
     capc = ac_ref.shape[1]
@@ -185,6 +246,7 @@ def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
         cape,
         capc,
         col,
+        narrow_scr=scr_n,
     )
     exc_ref[:] = exc_b.astype(jnp.uint8)
     ac_ref[:] = ac
@@ -198,17 +260,16 @@ def _k_compact_bytes(mask_ref, byt_ref, out_ref):
     m = mask_ref[:].astype(jnp.int32)
     cum = _cumsum(m, col, cw)
     d = col - (cum - 1)
-    comb = jnp.where(m != 0, (d << 8) | byt_ref[:].astype(jnp.int32), -1)
+    comb = jnp.where(
+        m != 0, _LIVE | (d << 8) | byt_ref[:].astype(jnp.int32), 0
+    )
     k = 8
     s = 1
     while s < cw:
-        mv = (comb >= 0) & (((comb >> k) & 1) == 1)
-        cs = _shl(comb, s, col, cw, -1)
-        tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
+        comb, _ = _stage_left(comb, (), s, col, cw, 1 << k)
         k += 1
         s *= 2
-    kv = (comb >= 0) & (col < capc)
+    kv = (comb >= _LIVE) & (col < capc)
     out_ref[:] = jnp.where(kv, comb & 255, 0)[:, :capc].astype(jnp.uint8)
 
 
@@ -219,64 +280,80 @@ def _k_compact_f32(mask_ref, val_ref, out_ref):
     col = jax.lax.broadcasted_iota(jnp.int32, mask_ref.shape, 1)
     m = mask_ref[:].astype(jnp.int32)
     cum = _cumsum(m, col, cw)
-    comb = jnp.where(m != 0, col - (cum - 1), -1)
+    comb = jnp.where(m != 0, _LIVE | (col - (cum - 1)), 0)
     vv = val_ref[:]
     k = 0
     s = 1
     while s < cw:
-        mv = (comb >= 0) & (((comb >> k) & 1) == 1)
-        cs = _shl(comb, s, col, cw, -1)
-        tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        vv = jnp.where(tk, _shl(vv, s, col, cw, 0.0), vv)
-        comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
+        comb, (vv,) = _stage_left(comb, (vv,), s, col, cw, 1 << k)
         k += 1
         s *= 2
-    kv = (comb >= 0) & (col < capc)
+    kv = (comb >= _LIVE) & (col < capc)
     out_ref[:] = jnp.where(kv, vv, 0.0)[:, :capc]
 
 
-def route_expand(mask_i32, rows, col):
+def _expand_phase1(mask_i32, col, cw):
+    """Forward network on the control word alone: the destination distance
+    of the r-th masked element lands at slot r (live-bit encoding)."""
+    cum = _cumsum(mask_i32, col, cw)
+    comb = jnp.where(mask_i32 != 0, _LIVE | (col - (cum - 1)), 0)
+    k = 0
+    s = 1
+    while s < cw:
+        comb, _ = _stage_left(comb, (), s, col, cw, 1 << k)
+        k += 1
+        s *= 2
+    return comb
+
+
+def route_expand(mask_i32, rows, col, byte_rows=None):
     """Mirror network on ARRAYS: rows[r] lands at each row's r-th masked
     position (0 elsewhere). Shared by _k_expand and the fused DPK kernels
     (ops/dpk_fuse.py). `rows` may be one array or a tuple (the network cost
     is per-MASK; extra payloads only add one roll per stage each).
+
+    byte_rows: an optional int payload with values <= 255 that rides the
+    SPARE LOW BITS of the control word through phase 2 instead of rolling
+    its own array — one fewer roll per stage (the decode kernel's exception
+    bytes use this). Returned FIRST when given: (byte_out, *rows_out).
 
     Phase 1 compacts the destination distances to their slots (the forward
     network on the control word alone); phase 2 routes values right,
     MSB-first. Requires per-row counts <= rows.shape[1] (capacity tiering
     upholds this — api._dpk_decode_prep / decompress pad rows to the peak
     tier)."""
-    single = not isinstance(rows, (tuple, list))
-    vs = (rows,) if single else tuple(rows)
+    single = rows is not None and not isinstance(rows, (tuple, list))
+    vs = (rows,) if single else tuple(rows or ())
     cw = mask_i32.shape[1]
-    cum = _cumsum(mask_i32, col, cw)
-    comb = jnp.where(mask_i32 != 0, col - (cum - 1), -1)
-    k = 0
-    s = 1
-    while s < cw:
-        mv = (comb >= 0) & (((comb >> k) & 1) == 1)
-        cs = _shl(comb, s, col, cw, -1)
-        tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
-        k += 1
-        s *= 2
+    comb = _expand_phase1(mask_i32, col, cw)
     vs = tuple(
         jnp.pad(v, ((0, 0), (0, cw - v.shape[1])))
         if v.shape[1] < cw
         else v
         for v in vs
     )
+    if byte_rows is not None:
+        # re-encode LIVE | (d << 8) | byte: the byte payload sits at the
+        # same slot its control word occupies after phase 1, so it merges
+        # into the low 8 bits and travels for free (d <= cw <= 2048 keeps
+        # d << 8 below the live bit)
+        b = byte_rows
+        if b.shape[1] < cw:
+            b = jnp.pad(b, ((0, 0), (0, cw - b.shape[1])))
+        comb = jnp.where(
+            comb != 0, ((comb & (_LIVE - 1)) << 8) | (b & 255) | _LIVE, 0
+        )
+    k_shift = 8 if byte_rows is not None else 0
     stages = (cw - 1).bit_length()
     for k in reversed(range(stages)):
         s = 1 << k
-        mv = (comb >= 0) & (((comb >> k) & 1) == 1)
-        cs = _shr(comb, s, col, -1)
-        tk = (cs >= 0) & (((cs >> k) & 1) == 1)
-        vs = tuple(jnp.where(tk, _shr(v, s, col, 0), v) for v in vs)
-        comb = jnp.where(tk, cs, jnp.where(mv, -1, comb))
+        comb, vs = _stage_right(comb, vs, s, col, 1 << (k + k_shift))
     out = tuple(
         jnp.where(mask_i32 != 0, v, jnp.zeros_like(v)) for v in vs
     )
+    if byte_rows is not None:
+        byte_out = jnp.where(mask_i32 != 0, comb & 255, 0)
+        return (byte_out,) + out
     return out[0] if single else out
 
 
@@ -300,7 +377,7 @@ def _grid_rows(nc: int) -> int:
     return r
 
 
-def _call(kernel, ins, out_shapes, nc):
+def _call(kernel, ins, out_shapes, nc, scratch_shapes=()):
     r = _grid_rows(nc)
     grid = nc // r
     return pl.pallas_call(
@@ -319,6 +396,7 @@ def _call(kernel, ins, out_shapes, nc):
             for s in out_shapes
         ],
         out_shape=out_shapes,
+        scratch_shapes=list(scratch_shapes),
         interpret=_INTERPRET,
     )(*ins)
 
@@ -336,6 +414,7 @@ def compact_unified(mask, idb, vals, cape: int, capc: int):
         (mask.astype(jnp.uint8), idb.astype(jnp.uint8), vals),
         outs,
         nc,
+        scratch_shapes=[pltpu.VMEM((_grid_rows(nc), max(ke, kc)), jnp.float32)],
     )
     return exc[:, :cape], ac[:, :capc]
 

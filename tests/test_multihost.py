@@ -98,6 +98,125 @@ def test_multiprocess_two_hosts(tmp_path, mode, codec):
     assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
 
 
+def _run_workers(tmp_path, n_total, nproc, phase, codec, stream=None,
+                 tag=""):
+    """Launch nproc jax.distributed workers; returns their output paths."""
+    worker = pathlib.Path(__file__).parent / "_mh_worker.py"
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs, outs = [], []
+    for pid in range(nproc):
+        if phase == "restore":
+            out = tmp_path / f"restore{tag}{pid}.npz"
+            argv = [
+                sys.executable, str(worker), coordinator, str(nproc),
+                str(pid), str(n_total), "restore", str(out), codec,
+                str(stream),
+            ]
+        else:
+            out = tmp_path / f"part{tag}{pid}.bin"
+            argv = [
+                sys.executable, str(worker), coordinator, str(nproc),
+                str(pid), str(n_total), phase, str(out), codec,
+            ]
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+            )
+        )
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2000:]
+    return outs
+
+
+def _reassemble(parts_npz, n_total):
+    full = np.zeros(n_total, np.float64)
+    frames_per_host = []
+    for pz in parts_npz:
+        start = int(pz["start"])
+        data = pz["data"]
+        full[start : start + data.size] = data[: max(0, n_total - start)]
+        frames_per_host.append(tuple(pz["frames"].tolist()))
+    return full, frames_per_host
+
+
+def test_multiprocess_4x2_uneven_save_then_mismatched_restore(tmp_path):
+    """4 jax.distributed writer processes (the tail host's slice is mostly
+    padding — uneven shares), then a RESTORE by 2 processes: the reader
+    process count does not match the writer's, so each reader host decodes
+    the two frames overlapping its slice (the overlap-decode branch of
+    decompress_multihost)."""
+    n_total = 64 * 1700 + 13  # 4x 32768-elem shares; host 3 holds 10509 real
+    outs = _run_workers(tmp_path, n_total, 4, "ec", "device")
+    stream = b"".join(o.read_bytes() for o in outs)
+    (tmp_path / "stream4.bin").write_bytes(stream)
+
+    import importlib.util
+
+    worker = pathlib.Path(__file__).parent / "_mh_worker.py"
+    spec = importlib.util.spec_from_file_location("_mh_worker", worker)
+    wmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wmod)
+    x = wmod.make_data(n_total)
+
+    # sanity: the 4-host stream restores in ONE process
+    y = dctz_tpu.decompress(stream)
+    assert y.shape == x.shape
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+    # mismatched restore: 2 readers x 2 devices over the 4-frame stream
+    router = _run_workers(
+        tmp_path, n_total, 2, "restore", "device",
+        stream=tmp_path / "stream4.bin", tag="m",
+    )
+    parts = [np.load(o) for o in router]
+    full, frames = _reassemble(parts, n_total)
+    # each reader host decoded exactly the TWO writer frames of its slice
+    assert sorted(len(f) for f in frames) == [2, 2], frames
+    assert len({f for fs in frames for f in fs}) == 4
+    assert dctz_tpu.evaluate(x, full, 1e-3)["bound_satisfied"]
+
+
+def test_distributed_restore_partial_frame_overlap(tmp_path):
+    """Frames written by a single process (compress_stream, odd segment
+    size) restored by 2 distributed processes: frame boundaries do NOT
+    align with reader slices, so hosts decode shared frames and slice —
+    the decode-and-slice branch with a REAL overlap."""
+    import io
+
+    from dctz_tpu import stream as dstream
+
+    worker = pathlib.Path(__file__).parent / "_mh_worker.py"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_mh_worker", worker)
+    wmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wmod)
+
+    n_total = 64 * 900 + 7
+    x = wmod.make_data(n_total)
+    buf = io.BytesIO()
+    dstream.compress_stream(x, buf, 1e-3, "ec", segment_elems=64 * 300)
+    (tmp_path / "streamS.bin").write_bytes(buf.getvalue())
+
+    outs = _run_workers(
+        tmp_path, n_total, 2, "restore", "auto",
+        stream=tmp_path / "streamS.bin", tag="p",
+    )
+    parts = [np.load(o) for o in outs]
+    full, frames = _reassemble(parts, n_total)
+    # a shared frame proves the partial-overlap branch ran
+    all_frames = [f for fs in frames for f in fs]
+    assert len(all_frames) > len(set(all_frames)), frames
+    assert dctz_tpu.evaluate(x, full, 1e-3)["bound_satisfied"]
+
+
 def test_decompress_multihost_single_process():
     """Single-process restore returns the whole array with start 0."""
     rng = np.random.default_rng(3)

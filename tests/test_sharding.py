@@ -92,6 +92,45 @@ def test_sharded_collectives_only_for_sf_and_qtable(mesh):
     assert hlo.count("all-reduce") >= 1, "sf/mean all-reduce missing"
 
 
+def test_compress_sharded_device_resident(mesh):
+    """A jax.Array input must stay on device: the prep (flatten/promote/
+    pad/reshard) runs under a transfer guard, and the container bytes match
+    the numpy-input path exactly."""
+    import jax.numpy as jnp
+
+    from dctz_tpu import api
+    from dctz_tpu.config import CodecConfig
+
+    x = (np.sin(np.arange(64 * 8 * 13 + 5) * 0.01) * 30).astype(np.float32)
+    cfg = CodecConfig(mode="ec", error_bound=1e-3, container="v2")
+    x_dev = jnp.asarray(x)
+    # host<->device transfers are forbidden; device-to-device reshard
+    # (the ICI path on real meshes) is exactly what the prep should do
+    with jax.transfer_guard_host_to_device("disallow"), \
+            jax.transfer_guard_device_to_host("disallow"):
+        x_sharded, n_pad = sh.shard_input_device(x_dev, mesh, 64)
+    assert n_pad % (64 * mesh.devices.size) == 0
+    assert x_sharded.shape == (n_pad,)
+    blob_dev = api.compress_sharded(x_dev, config=cfg, mesh=mesh)
+    blob_np = api.compress_sharded(x, config=cfg, mesh=mesh)
+    assert blob_dev == blob_np
+    y = api.decompress_sharded(blob_dev, mesh=mesh)
+    tol = 1e-3 * (x.max() - x.min()) * 1.01
+    assert np.abs(y - x).max() <= tol
+
+
+def test_shard_input_device_promotes_f64(mesh):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.linspace(-1, 1, 64 * 16), dtype=jnp.float64)
+    with jax.transfer_guard_host_to_device("disallow"), \
+            jax.transfer_guard_device_to_host("disallow"):
+        xs, n_pad = sh.shard_input_device(
+            x, mesh, 64, promote_f32=True
+        )
+    assert xs.dtype == jnp.float32
+
+
 def test_mesh_padding_math():
     assert sh.padded_size(1, 8, 64) == 512
     assert sh.padded_size(512, 8, 64) == 512

@@ -118,6 +118,109 @@ def test_compress_segment_elems_routes_to_stream():
         jax.config.update("jax_enable_x64", old_x64)
 
 
+def test_auto_segment_resolution():
+    """segment_elems='auto' (the default) pipelines large v2 EC arrays and
+    stays monolithic for v1, QT, and small inputs."""
+    from dctz_tpu import api
+
+    auto = CodecConfig(container="v2")
+    assert auto.segment_elems == "auto"
+    assert (
+        api._resolve_segment(auto, stream.AUTO_THRESHOLD)
+        == stream.DEFAULT_SEGMENT
+    )
+    assert api._resolve_segment(auto, stream.AUTO_THRESHOLD - 1) is None
+    v1 = CodecConfig(container="v1")
+    assert api._resolve_segment(v1, stream.AUTO_THRESHOLD) is None
+    qt = CodecConfig(container="v2", mode="qt")
+    assert api._resolve_segment(qt, stream.AUTO_THRESHOLD) is None
+    off = CodecConfig(container="v2", segment_elems=0)
+    assert api._resolve_segment(off, stream.AUTO_THRESHOLD) is None
+    explicit = CodecConfig(container="v2", segment_elems=1 << 16)
+    assert api._resolve_segment(explicit, 1 << 17) == 1 << 16
+    assert api._resolve_segment(explicit, (1 << 17) - 1) is None
+
+
+def test_compress_auto_pipelines_large_arrays(monkeypatch):
+    """The default config auto-routes a large v2 EC array through the DTZS
+    pipeline; decompress() restores it into a single preallocated buffer."""
+    monkeypatch.setattr(stream, "AUTO_THRESHOLD", 1 << 17)
+    monkeypatch.setattr(stream, "DEFAULT_SEGMENT", 1 << 16)
+    x = np.sin(np.arange(1 << 17, dtype=np.float32) * 0.003) * 11
+    cfg = CodecConfig(mode="ec", error_bound=1e-3, container="v2")
+    blob = dctz_tpu.compress(x, config=cfg)
+    assert blob[:4] == b"DTZS"
+    y = dctz_tpu.decompress(blob)
+    tol = 1e-3 * (x.max() - x.min())
+    assert np.abs(y - x).max() <= tol
+    # memoryview input also decodes without a copy of the blob
+    y2 = dctz_tpu.decompress(memoryview(blob))
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_stream_device_resident_input_matches_numpy_path():
+    """A jax.Array input reduces its stats ON DEVICE and streams HBM slices;
+    the reconstruction matches the numpy two-pass path exactly."""
+    import jax.numpy as jnp
+
+    x = (np.sin(np.arange(64 * 400, dtype=np.float32) * 0.01) * 25).astype(
+        np.float32
+    )
+    cfg = CodecConfig(mode="ec", error_bound=1e-3, container="v2")
+    b_np, b_dev = io.BytesIO(), io.BytesIO()
+    stream.compress_stream(x, b_np, config=cfg, segment_elems=64 * 100)
+    stream.compress_stream(
+        jnp.asarray(x), b_dev, config=cfg, segment_elems=64 * 100
+    )
+    b_np.seek(0)
+    b_dev.seek(0)
+    y_np = stream.decompress_stream_all(b_np)
+    y_dev = stream.decompress_stream_all(b_dev)
+    np.testing.assert_array_equal(y_np, y_dev)
+    assert dctz_tpu.evaluate(x, y_dev, 1e-3)["bound_satisfied"]
+
+
+def test_stream_generic_path_retries_on_ac_overflow(monkeypatch):
+    """Chunked-layout segments whose escape count exceeds the default
+    per-chunk AC capacity must retry at full width, not drop values
+    (pre-round-4 the generic stream path never checked q.overflowed)."""
+    from dctz_tpu.ops import compaction as cp
+
+    monkeypatch.setattr(cp, "use_chunked_compaction", lambda: True)
+    rng = np.random.default_rng(11)
+    # dense escapes: wild data at a tight bound escapes nearly every coef
+    x = (rng.standard_normal(64 * 256) * 1e4).astype(np.float32)
+    buf = io.BytesIO()
+    stream.compress_stream(x, buf, 1e-3, "ec", segment_elems=64 * 128)
+    buf.seek(0)
+    y = stream.decompress_stream_all(buf)
+    tol = 1e-3 * (x.max() - x.min()) * 1.01
+    assert np.abs(y - x.astype(np.float32)).max() <= tol
+
+
+def test_stream_restore_memory_bounded():
+    """decompress_stream_all allocates the output once: peak traced
+    allocations stay ~ output + O(segment), not 2x the array."""
+    import tracemalloc
+
+    x = np.sin(np.arange(1 << 20, dtype=np.float32) * 0.001) * 7
+    cfg = CodecConfig(mode="ec", error_bound=1e-3, container="v2")
+    buf = io.BytesIO()
+    stream.compress_stream(x, buf, config=cfg, segment_elems=1 << 17)
+    raw = buf.getvalue()
+    # warm compiles/pools outside the trace
+    _ = stream.decompress_stream_all(stream.MemReader(raw))
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    y = stream.decompress_stream_all(stream.MemReader(raw))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    np.testing.assert_array_equal(y.shape, x.shape)
+    # output is 4 MB; 8 segments of 0.5 MB each. The old list+concatenate
+    # held >= 8 MB of parts; require peak-above-baseline < 1.75x output.
+    assert peak - base < int(x.nbytes * 1.75), (peak, base, x.nbytes)
+
+
 def test_stream_truncated_raises():
     rng = np.random.default_rng(4)
     x = rng.standard_normal(64 * 200).astype(np.float32)

@@ -1162,7 +1162,13 @@ def _auto_rate_brsf(arr, n: int, cfg: CodecConfig) -> float:
         trial_cfg = dataclasses.replace(
             cfg, brsf=b, rate="fixed", segment_elems=None, verify=True
         )
-        sz = len(compress(sample, config=trial_cfg))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            sz = len(compress(sample, config=trial_cfg))
+        if any("pointwise bound" in str(w.message) for w in caught):
+            # this geometry cannot hold the bound even with repair (f32
+            # truncation floor) — never select it; wider only gets worse
+            break
         if best_sz is None or sz < best_sz:
             best_b, best_sz = b, sz
         elif sz > best_sz * 1.02:

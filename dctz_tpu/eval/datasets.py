@@ -42,6 +42,16 @@ class Dataset:
                 candidates.append(pathlib.Path(data_dir) / self.path)
             for c in candidates:
                 if c.exists():
+                    need = self.n * self.np_dtype().itemsize
+                    have = c.stat().st_size
+                    if have < need:
+                        # a short file would silently truncate via
+                        # np.fromfile(count=...) and poison the metrics
+                        raise ValueError(
+                            f"{c} holds {have} bytes, expected >= {need} "
+                            f"({self.n} x {self.dtype}) — wrong dims or a "
+                            "truncated download"
+                        )
                     return np.fromfile(c, dtype=self.np_dtype, count=self.n)
         # stable across processes (Python's str hash is salted per run)
         seed = zlib.crc32(self.name.encode()) % (1 << 31)

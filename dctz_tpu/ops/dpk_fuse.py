@@ -240,8 +240,7 @@ def encode_eligible(b: int, bs: int, cw: int, nbins: int = C.NBINS) -> bool:
 
 
 def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
-               scr_n=None):
+               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref):
     """Shared encode tile body: width selection, bit packing, unified
     butterfly compaction, counts, DC extraction. nib_tm is the TILE-major
     (64, 256) nibble grid; idsc/vals3 the chunk-major (cpt, cw) id/value
@@ -321,7 +320,7 @@ def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
 
     col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
     exc_b, ac = shuffle.route_compact_unified(
-        mask3, idsc, vals3, cape_k, capc_k, col3, narrow_scr=scr_n
+        mask3, idsc, vals3, cape_k, capc_k, col3
     )
     exc_ref[:] = exc_b.astype(jnp.uint8)
     ac_ref[:] = ac
@@ -339,7 +338,7 @@ def _make_encode_kernel(cw: int, cape_k: int, capc_k: int):
     g = cw // BS
 
     def kernel(nv_ref, ids_ref, dcac_ref, w8_ref, pk_ref, exc_ref, ac_ref,
-               cnt_ref, dc_ref, scr_i, scr_f, scr_n):
+               cnt_ref, dc_ref, scr_i, scr_f):
         t = pl.program_id(0)
         row = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, BS), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, BS), 1)
@@ -364,8 +363,7 @@ def _make_encode_kernel(cw: int, cape_k: int, capc_k: int):
         vals3 = jnp.concatenate([scr_f[i::g, :] for i in range(g)], axis=1)
 
         _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
-                   scr_n=scr_n)
+                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref)
 
     return kernel
 
@@ -391,7 +389,7 @@ def _make_encode_x_kernel(
             qt_ref = rest[0]
             rest = rest[1:]
         (w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref, ok_ref,
-         scr_i, scr_f, ok_s, scr_n) = rest
+         scr_i, scr_f, ok_s) = rest
         t = pl.program_id(0)
         rmin = geom_ref[0]
         rmax = geom_ref[1]
@@ -560,8 +558,7 @@ def _make_encode_x_kernel(
         )
 
         _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
-                   scr_n=scr_n)
+                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref)
 
     return kernel
 
@@ -670,7 +667,6 @@ def encode_x_fused(
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((128, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
-            pltpu.VMEM((cpt, cape_k), jnp.float32),  # narrow tighten
         ],
         interpret=_INTERPRET,
     )(np1, nv1, sf1, geom, x2, bdf, bdi, *qt_args)
@@ -762,7 +758,6 @@ def encode_fused(
         scratch_shapes=[
             pltpu.VMEM((TILE_B, BS), jnp.int32),
             pltpu.VMEM((TILE_B, BS), jnp.float32),
-            pltpu.VMEM((cpt, cape_k), jnp.float32),  # narrow tighten
         ],
         interpret=_INTERPRET,
     )(nv, ids_p, dcac_p)

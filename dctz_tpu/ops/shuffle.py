@@ -175,12 +175,11 @@ def route_compact_unified(
     mask, then tighten the values whose compacted byte is ESCAPE into the
     AC rows. Returns (exc_bytes (R, cape) i32, ac (R, capc) f32).
 
-    narrow_scr: optional (R, cape_k) f32 VMEM scratch REF. When given (and
-    the capacities fit), the tighten pass runs at cape_k lanes instead of
-    the full cw — everything it routes lives in the compacted prefix, so
-    distances are < cape; the scratch write/read realigns the slice to lane
-    offset 0 (Mosaic cannot roll a mid-kernel slice directly). 4x less
-    roll/select traffic over the tighten's log2(cape) stages."""
+    narrow_scr is accepted for signature stability and IGNORED: a
+    cape_k-lane tighten (scratch-realigned slice) was measured as a ~1 ms
+    candidate but its Mosaic compile hangs on the real backend (round-4
+    negative result — the tighten stays at full width)."""
+    del narrow_scr
     cw = m_i32.shape[1]
     cum = _cumsum(m_i32, col, cw)
     d = col - (cum - 1)
@@ -197,30 +196,6 @@ def route_compact_unified(
     uv = jnp.where(kv, vv, 0.0)
 
     # tighten: AC escapes out of the union prefix (distances < cape)
-    if (
-        narrow_scr is not None
-        and cape <= narrow_scr.shape[1]
-        and capc <= narrow_scr.shape[1]
-        and narrow_scr.shape[1] < cw
-    ):
-        cape_k = narrow_scr.shape[1]
-        narrow_scr[:] = uv[:, :cape_k]
-        u = narrow_scr[:]
-        coln = jax.lax.broadcasted_iota(
-            jnp.int32, (m_i32.shape[0], cape_k), 1
-        )
-        # dead slots hold byte 0 != ESCAPE, so the prefix test is implicit
-        esc = (exc_b[:, :cape_k] == C.ESCAPE).astype(jnp.int32)
-        cum2 = _cumsum(esc, coln, cape_k)
-        comb2 = jnp.where(esc != 0, _LIVE | (coln - (cum2 - 1)), 0)
-        k = 0
-        s = 1
-        while s < cape:
-            comb2, (u,) = _stage_left(comb2, (u,), s, coln, cape_k, 1 << k)
-            k += 1
-            s *= 2
-        ac = jnp.where(comb2[:, :capc] >= _LIVE, u[:, :capc], 0.0)
-        return exc_b[:, :cape], ac
     esc = (kv & (exc_b == C.ESCAPE)).astype(jnp.int32)
     cum2 = _cumsum(esc, col, cw)
     comb2 = jnp.where(esc != 0, _LIVE | (col - (cum2 - 1)), 0)
@@ -234,7 +209,7 @@ def route_compact_unified(
     return exc_b[:, :cape], ac
 
 
-def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref, scr_n):
+def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref):
     """Pallas wrapper around route_compact_unified (see there)."""
     cape = exc_ref.shape[1]
     capc = ac_ref.shape[1]
@@ -246,7 +221,6 @@ def _k_compact_unified(mask_ref, idb_ref, val_ref, exc_ref, ac_ref, scr_n):
         cape,
         capc,
         col,
-        narrow_scr=scr_n,
     )
     exc_ref[:] = exc_b.astype(jnp.uint8)
     ac_ref[:] = ac
@@ -414,7 +388,6 @@ def compact_unified(mask, idb, vals, cape: int, capc: int):
         (mask.astype(jnp.uint8), idb.astype(jnp.uint8), vals),
         outs,
         nc,
-        scratch_shapes=[pltpu.VMEM((_grid_rows(nc), max(ke, kc)), jnp.float32)],
     )
     return exc[:, :cape], ac[:, :capc]
 

@@ -189,6 +189,15 @@ def _decode_device_dpk(
     return _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _unpack_ids_device(width, rows, exc_rows, nblk, bs, tile_b, cw):
+    """The DPK id unpack as its own program (u8/i32 only) — the f64
+    full-width decode runs it under _pallas_x64_guard."""
+    from .ops import idpack
+
+    return idpack.unpack_ids(width, rows, exc_rows, nblk, bs, tile_b, cw)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _stats_device(x_padded: jax.Array, n_real: int, sf_adj: int):
     """(sf, mean) over a zero-padded array; pads never affect max|x| and the
@@ -555,7 +564,9 @@ def _decode_float_section(header: ct.Header, chunks) -> bytes:
 
 _DPK_META_FMT = "<QHH2x"  # n_stream (padded elements), tile_b, AC chunk width
 _DPK_META_SIZE = struct.calcsize(_DPK_META_FMT)
-_VERBATIM_CHUNK = 1 << 22  # split stored-verbatim sections for parallel crc
+_VERBATIM_CHUNK = 1 << 20  # split stored-verbatim sections for parallel crc
+# (1 MiB: a ~10 MB packed section yields ~10 crc tasks for the 4-core pool
+# instead of 3 at the old 4 MiB — measured ~0.8 ms off pack_v2)
 
 
 def _dpk_pack_device(bin_ids_dev: jax.Array, n: int):
@@ -638,18 +649,27 @@ def _dpk_sections(
             # 24 ms dec per 9 MB vs deflate-1's 83 ms for 18%)
             return [native.rans_compress(tight)]
         # device-coded: stored verbatim (zero-copy memoryviews into the
-        # gathered array; pack_v2 joins/crcs buffers directly). Large
-        # sections split into 4 MiB chunks purely so the container crc32s
-        # parallelize (the decoder joins the chunks back — same bytes;
-        # small containers keep the single chunk, so committed fixtures
-        # are unchanged)
+        # gathered array; pack_v2 joins buffers directly). Large sections
+        # split into chunks purely so the container crc32s parallelize
+        # (the decoder joins the chunks back — same bytes; small
+        # containers keep the single chunk, so committed fixtures are
+        # unchanged). The crcs are submitted here so they overlap the
+        # OTHER sections' coding instead of serializing inside pack_v2.
+        import zlib
+
         t_view = memoryview(tight)
-        if len(t_view) <= _VERBATIM_CHUNK:
-            return [t_view]
-        return [
-            t_view[i : i + _VERBATIM_CHUNK]
-            for i in range(0, len(t_view), _VERBATIM_CHUNK)
-        ]
+        out = entropy.ChunkList(
+            [t_view]
+            if len(t_view) <= _VERBATIM_CHUNK
+            else [
+                t_view[i : i + _VERBATIM_CHUNK]
+                for i in range(0, len(t_view), _VERBATIM_CHUNK)
+            ]
+        )
+        from .core.entropy import _pool
+
+        out.crcs = [_pool().submit(zlib.crc32, c) for c in out]
+        return out
 
     def _exc_task():
         exc_tight = entropy.take_row_prefixes(exc_rows, exc_counts)
@@ -843,17 +863,38 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
             for a in dev:
                 float(a.ravel()[0])
     with timer.stage("device"), _f32_device_trace(work):
-        x = _decode_device_dpk(
-            *dev,
-            n_stream,
-            _device_cfg(cfg),
-            work,
-            ac_layout,
-            tile_b,
-            cw,
-            sf,
-            qt,
-        )
+        if (
+            jnp.dtype(work) == jnp.float64
+            and jax.config.jax_enable_x64
+            and _tpu_like_backend()
+        ):
+            # f64 full-width decode: the u8/i32 unpack programs cannot
+            # trace under x64 on TPU (Mosaic convert recursion — see
+            # _pallas_x64_guard); unpack in an x64-off program, then run
+            # the f64 decode core on the ids
+            from .ops import idpack
+
+            nblk = -(-n_stream // cfg.block_size)
+            with _pallas_x64_guard():
+                bin_ids = _unpack_ids_device(
+                    dev[0], dev[1], dev[2], nblk, cfg.block_size, tile_b, cw
+                )
+            x = _decode_device(
+                bin_ids, dev[3], dev[4], n_stream, _device_cfg(cfg), work,
+                ac_layout, False, sf, qt,
+            )
+        else:
+            x = _decode_device_dpk(
+                *dev,
+                n_stream,
+                _device_cfg(cfg),
+                work,
+                ac_layout,
+                tile_b,
+                cw,
+                sf,
+                qt,
+            )
         if timer.sync:
             float(x.ravel()[0])  # force completion (see CLAUDE.md: block_
             # until_ready does not synchronize on the tunneled backend)
@@ -918,6 +959,17 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
 
     out_dtype = header.dtype
     work = _decode_work_dtype(header, True)
+    if (
+        jnp.dtype(work) == jnp.float64
+        and jax.config.jax_enable_x64
+        and _tpu_like_backend()
+    ):
+        # f64 full-width sharded decode would trace the u8 unpack under
+        # x64 inside shard_map (Mosaic convert recursion); take the
+        # single-chip split-program path instead
+        from .utils.timing import StageTimer
+
+        return _decompress_dpk(header, streams, qtable, StageTimer())
     spec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sh.AXIS))
     qt = (
         jnp.asarray(qtable).astype(jnp.dtype(work))
@@ -1026,6 +1078,20 @@ def _f64_fast_eligible(cfg: CodecConfig) -> bool:
         and cfg.error_bound >= F64_FAST_EB_MIN
         and _tpu_like_backend()
     )
+
+
+def _pallas_x64_guard():
+    """x64-off scope for the Pallas id-stream programs (pack/unpack/
+    butterfly): their operands are u8/i32 regardless of the float pipeline,
+    but tracing them with x64 enabled makes Mosaic's convert lowering
+    recurse to death (RecursionError in _convert_helper — found by the
+    round-4 fallback-table run on the f64 full-width path). Scoped to
+    TPU-like backends; CPU/interpret tests keep their x64 traces."""
+    import contextlib
+
+    if jax.config.jax_enable_x64 and _tpu_like_backend():
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
 
 
 def _f32_device_trace(work_dtype):
@@ -1344,13 +1410,14 @@ def compress(
 
             nblk_s, bs_s = q.bin_ids.shape
             cw = qz.chunk_width(nblk_s * bs_s, bs_s)
-            pk = _dpk_pack_device(q.bin_ids, n)
-            # per-chunk AC counts (the chunked compaction already has them)
-            ac_counts_dev = (
-                q.ac_count
-                if q.overflowed is not None
-                else idpack.ac_chunk_counts(q.bin_ids, n, cw)
-            )
+            with _pallas_x64_guard():  # u8/i32 programs; x64 breaks Mosaic
+                pk = _dpk_pack_device(q.bin_ids, n)
+                # per-chunk AC counts (chunked compaction already has them)
+                ac_counts_dev = (
+                    q.ac_count
+                    if q.overflowed is not None
+                    else idpack.ac_chunk_counts(q.bin_ids, n, cw)
+                )
     if q.bound_ok is not None and not bool(jax.device_get(q.bound_ok)):
         warnings.warn(
             "verify-repair could not fully satisfy the pointwise bound "

@@ -315,9 +315,9 @@ def pack_v2(
     for chunks in streams_z:
         parts.append(struct.pack("<I", len(chunks)))
         parts.append(struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks]))
-        parts.append(
-            struct.pack(f"<{len(chunks)}I", *entropy.crc32_many(chunks))
-        )
+        # producer-attached crcs (entropy.ChunkList) skip the hash pass here
+        crcs = entropy.resolve_crcs(chunks) or entropy.crc32_many(chunks)
+        parts.append(struct.pack(f"<{len(chunks)}I", *crcs))
     # version 3: crc over the fixed header + chunk tables — a flipped
     # metadata byte (sf, eb, flags, a chunk size) fails loudly instead of
     # silently decoding garbage (payload chunks carry their own crcs)

@@ -60,6 +60,9 @@ def compact_chunked(
         shuffle.enabled()
         and shuffle.eligible(cw)
         and vals2.dtype == jnp.float32
+        # x64 traces recurse Mosaic's convert lowering to death (see
+        # api._pallas_x64_guard); the f64 full-width path keeps the sort
+        and not jax.config.jax_enable_x64
     ):
         # Pallas butterfly routing: bit-identical output, ~2x the sort's
         # throughput (ops/shuffle.py header for the numbers)
@@ -94,11 +97,12 @@ def expand_chunked(
     capc = ac_chunks.shape[1]
     from . import shuffle
 
-    if shuffle.enabled() and shuffle.eligible(cw) and ac_chunks.dtype in (
-        jnp.float32,
-        jnp.bfloat16,
-        jnp.int32,
-        jnp.uint8,
+    if (
+        shuffle.enabled()
+        and shuffle.eligible(cw)
+        and ac_chunks.dtype
+        in (jnp.float32, jnp.bfloat16, jnp.int32, jnp.uint8)
+        and not jax.config.jax_enable_x64  # see compact_chunked note
     ):
         # Pallas butterfly routing (bit-identical; ops/shuffle.py)
         return shuffle.expand(mask2, ac_chunks)

@@ -274,7 +274,13 @@ def pack_ids_with_ac(
     exc_counts = jnp.sum(mask2, axis=-1, dtype=jnp.int32)
     from . import shuffle
 
-    if shuffle.enabled() and shuffle.eligible(cw):
+    if (
+        shuffle.enabled()
+        and shuffle.eligible(cw)
+        # x64 traces recurse Mosaic's convert lowering (api._pallas_x64_
+        # guard); keep the sort pair on f64 full-width programs
+        and not jax.config.jax_enable_x64
+    ):
         # Pallas butterfly: one kernel compacts the (id byte, value) pairs
         # AND tightens the AC escapes out of the union — bit-identical to
         # the sort pair below (ops/shuffle.py; tests/test_idpack.py)

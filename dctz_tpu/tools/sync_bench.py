@@ -42,7 +42,12 @@ def block(src: str, p: dict) -> str:
         + (f" (verify-on config)" if d.get("verify") else ""),
         f"* stages per 128 MB: device {d['device_compress_ms_amortized']} ms"
         f" enc / {d['device_decompress_ms_amortized']} ms dec; host "
-        f"{d['host_compress_ms']} ms enc / {d['host_decompress_ms']} ms dec",
+        f"{d['host_compress_ms']} ms enc / {d['host_decompress_ms']} ms dec"
+        + (
+            f"; strictly-serial monolithic sum {d['serial_sum_gbps']} GB/s"
+            if "serial_sum_gbps" in d
+            else ""
+        ),
         END,
     ]
     return "\n".join(lines)

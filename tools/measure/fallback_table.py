@@ -41,11 +41,17 @@ def climate(n, dtype):
 
 
 def run(name, x, cfg, reps=3):
+    import jax.numpy as jnp
+
+    # pre-stage the input on device: the tunnel's ~0.02 GB/s h2d would
+    # otherwise land inside the first timed device stage
+    xd = jnp.asarray(x)
+    float(xd.ravel()[0])
     best_c = best_d = float("inf")
     blob = None
     for _ in range(reps):
         ct = StageTimer(sync=True)
-        blob = dctz_tpu.compress(x, config=cfg, timer=ct)
+        blob = dctz_tpu.compress(xd, config=cfg, timer=ct)
         c = sum(v for k, v in ct.stages.items() if k != "transfer")
         dt = StageTimer(sync=True)
         y = dctz_tpu.decompress(blob, timer=dt)

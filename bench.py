@@ -297,6 +297,10 @@ def bench_jax() -> dict:
     return {
         "gbps": 2 * gb / (pipe_c + pipe_d),
         "serial_sum_gbps": round(2 * gb / total, 3),
+        # ceiling when the host stage hides fully under device compute
+        # (production hosts: 112+ cores vs this box's 4 — docs/scaling.md);
+        # a labeled PROJECTION, not a measurement
+        "device_bound_ceiling_gbps": round(2 * gb / (dev_c + dev_d), 3),
         "compress_gbps": gb / pipe_c,
         "decompress_gbps": gb / pipe_d,
         "device_compress_ms_amortized": round(dev_c * 1e3, 2),

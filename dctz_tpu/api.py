@@ -1795,9 +1795,41 @@ def decompress_sharded(blob: bytes | memoryview, *, mesh=None) -> np.ndarray:
 
     The host inflates the streams, splits the AC stream by per-shard escape
     counts (recomputed from bin_index alone), and runs the local
-    dequantize+IDCT pipeline on every shard."""
+    dequantize+IDCT pipeline on every shard. DTZS streams (the DEFAULT
+    compress() output for large arrays) restore frame by frame, each
+    frame's device stage sharded, into one preallocated output."""
     from .parallel import sharding as sh
     from .utils.timing import StageTimer
+
+    if bytes(memoryview(blob)[:4]) == b"DTZS":
+        from . import stream as _stream
+
+        reader = _stream.MemReader(blob)
+        total = _stream._read_stream_header(reader)
+        out: np.ndarray | None = None
+        off = 0
+        while True:
+            raw = reader.read(_stream._FRAME.size)
+            if len(raw) != _stream._FRAME.size:
+                raise ValueError("truncated stream: missing frame header")
+            (length,) = _stream._FRAME.unpack(raw)
+            if not length:
+                break
+            body = reader.read(length)
+            if len(body) != length:
+                raise ValueError("truncated stream: frame body cut short")
+            part = decompress_sharded(body, mesh=mesh)
+            if out is None:
+                if part.size == total:
+                    return part
+                out = np.empty(total, part.dtype)
+            out[off : off + part.size] = part
+            off += part.size
+        if out is None or off != total:
+            raise ValueError(
+                f"truncated stream: {off} of {total} elements restored"
+            )
+        return out
 
     header, streams, qtable, _cb = ct.parse_v2(blob)
     if header.dpk:

@@ -158,6 +158,24 @@ def test_compress_auto_pipelines_large_arrays(monkeypatch):
     np.testing.assert_array_equal(y, y2)
 
 
+def test_decompress_sharded_handles_dtzs():
+    """decompress_sharded must restore the DTZS streams that the DEFAULT
+    compress() path emits for large arrays (frame-wise sharded decode)."""
+    import jax
+
+    from dctz_tpu.api import decompress_sharded
+    from dctz_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh(jax.devices()[:8])
+    x = np.sin(np.arange(64 * 800, dtype=np.float32) * 0.01) * 25
+    buf = io.BytesIO()
+    stream.compress_stream(x, buf, 1e-3, "ec", segment_elems=64 * 300)
+    blob = buf.getvalue()
+    y = decompress_sharded(blob, mesh=mesh)
+    np.testing.assert_array_equal(y, dctz_tpu.decompress(blob))
+    assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
+
+
 def test_stream_device_resident_input_matches_numpy_path():
     """A jax.Array input reduces its stats ON DEVICE and streams HBM slices;
     the reconstruction matches the numpy two-pass path exactly."""

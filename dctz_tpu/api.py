@@ -1384,7 +1384,10 @@ def compress(
         from . import stream as dstream
 
         buf = io.BytesIO()
-        with timer.stage("pipeline"):
+        # the x64-off trace scope mirrors the monolithic fused path below:
+        # without it the f64 CLI (x64 on) traces the fused Pallas segment
+        # kernels into Mosaic's convert-lowering recursion
+        with timer.stage("pipeline"), _f32_device_trace(arr.dtype):
             dstream.compress_stream(
                 arr, buf, config=cfg, segment_elems=seg
             )

@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(device/host overlap; decompress auto-detects). Default 'auto' "
         "pipelines large v2 EC arrays; 0 forces monolithic",
     )
+    p.add_argument(
+        "--verify",
+        action="store_true",
+        help="run the verify-repair pass: the pointwise bound is GUARANTEED "
+        "(the reference ships its own check disabled, util.c:96-102)",
+    )
     p.add_argument("--json", action="store_true", help="emit a metrics JSON line")
     p.add_argument(
         "--no-write", action="store_true", help="skip writing .z / .z.r files"
@@ -152,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
             dpk_host_codec=args.dpk_host_codec,
             host_codec=args.host_codec,
             segment_elems=args.segment_elems,
+            verify=args.verify,
         )
         blob = compress(data, config=cfg)
     t_comp = time.perf_counter() - t0

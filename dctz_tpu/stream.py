@@ -60,18 +60,33 @@ DEFAULT_SEGMENT = 1 << 24  # 16Mi elements per segment
 AUTO_THRESHOLD = 2 * DEFAULT_SEGMENT
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _encode_segment(
-    x: jax.Array, sf: jax.Array, n: int, cfg: CodecConfig,
+    x: jax.Array, sf: jax.Array, tol: jax.Array, n: int, cfg: CodecConfig,
     ac_capacity: int | None = None,
 ):
-    """Segment encode with an externally fixed scaling factor."""
+    """Segment encode with an externally fixed scaling factor.
+
+    cfg.verify runs the verify-repair pass per segment against the
+    GLOBALLY-computed tolerance `tol` (pre-round-4 the generic segment
+    path silently ignored cfg.verify — only the fused DPK segments
+    verified)."""
     xs = x / sf.astype(x.dtype)
     main_c, tail_c = transform.forward(xs, cfg.block_size)
     from .api import _pad_coeffs
 
     coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
-    return qz.encode(coeffs, n, cfg, ac_capacity)
+    q = qz.encode(coeffs, n, cfg, ac_capacity)
+    if cfg.verify:
+        from .ops import repair
+
+        ids2, dense32, ok = repair.verify_repair(
+            x, coeffs, sf, q.bin_ids, q.dc, q.qtable, n, n, cfg,
+            tol.astype(x.dtype),
+        )
+        q = qz.repack(ids2, dense32, q.dc, q.qtable, n, cfg, ac_capacity)
+        q = q._replace(bound_ok=ok)
+    return q
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -166,6 +181,13 @@ def compress_stream(
         out.write(blob)
         return _FRAME.size + len(blob)
 
+    # verify tolerance is GLOBAL (eb * range of the whole array) — a
+    # segment-local range would tighten the bound on flat segments
+    from .ops import repair
+
+    tol = (vmax - vmin) * cfg.error_bound * repair._SLACK
+    bound_bad: list[int] = []  # segment indices where repair fell short
+
     dpk_seg = (
         cfg.ids_codec == "device"
         and cfg.mode == "ec"
@@ -182,12 +204,9 @@ def compress_stream(
         # fused-kernel segments: every frame is a DPK v2 container packed
         # by the SAME host code as the monolithic path (api._pack_dpk_v2);
         # verify-repair runs in-kernel with the GLOBAL tolerance
-        from .ops import repair
-
-        tol = (vmax - vmin) * cfg.error_bound * repair._SLACK
         with concurrent.futures.ThreadPoolExecutor(1) as host_worker:
             pending = None
-            for seg in _segments(x, segment_elems):
+            for si, seg in enumerate(_segments(x, segment_elems)):
                 outs = _encode_segment_dpk(
                     seg, sf, tol, _device_cfg(cfg)
                 )
@@ -195,18 +214,23 @@ def compress_stream(
                     written += write_frame(pending.result())
                 pending = host_worker.submit(
                     _pack_segment_dpk, outs, seg.shape[0],
-                    np.dtype(seg.dtype), sf, mean, cfg,
+                    np.dtype(seg.dtype), sf, mean, cfg, bound_bad, si,
                 )
             written += write_frame(pending.result())
         out.write(_FRAME.pack(0))
+        _warn_bound(bound_bad)
         return written + _FRAME.size
 
     with concurrent.futures.ThreadPoolExecutor(1) as host_worker:
         pending = None
-        for seg in _segments(x, segment_elems):
+        for si, seg in enumerate(_segments(x, segment_elems)):
             n_seg = int(seg.shape[0])
-            sfv = jnp.asarray(np.asarray(sf, np.dtype(str(seg.dtype))))
-            q = _encode_segment(jnp.asarray(seg), sfv, n_seg, _device_cfg(cfg))
+            dt = np.dtype(str(seg.dtype))
+            sfv = jnp.asarray(np.asarray(sf, dt))
+            tolv = jnp.asarray(np.asarray(tol, dt))
+            q = _encode_segment(
+                jnp.asarray(seg), sfv, tolv, n_seg, _device_cfg(cfg)
+            )
             if q.overflowed is not None and bool(
                 jax.device_get(q.overflowed)
             ):
@@ -215,18 +239,30 @@ def compress_stream(
                 # monolithic path (api.compress)
                 n_pad = -(-n_seg // cfg.block_size) * cfg.block_size
                 q = _encode_segment(
-                    jnp.asarray(seg), sfv, n_seg, _device_cfg(cfg),
+                    jnp.asarray(seg), sfv, tolv, n_seg, _device_cfg(cfg),
                     qz.chunk_width(n_pad, cfg.block_size),
                 )
             if pending is not None:
                 written += write_frame(pending.result())
             pending = host_worker.submit(
-                _pack_segment, q, n_seg, np.dtype(str(seg.dtype)), sf, mean,
-                cfg,
+                _pack_segment, q, n_seg, dt, sf, mean, cfg, bound_bad, si,
             )
         written += write_frame(pending.result())
     out.write(_FRAME.pack(0))
+    _warn_bound(bound_bad)
     return written + _FRAME.size
+
+
+def _warn_bound(bound_bad: list) -> None:
+    if bound_bad:
+        import warnings
+
+        warnings.warn(
+            "verify-repair could not fully satisfy the pointwise bound in "
+            f"segment(s) {bound_bad} (float32-truncation floor); see "
+            "docs/numerics.md",
+            stacklevel=3,
+        )
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
@@ -261,7 +297,8 @@ def _encode_segment_dpk(seg: np.ndarray, sf: float, tol: float, cfg):
 
 
 def _pack_segment_dpk(
-    outs_npad, n: int, dtype: np.dtype, sf: float, mean: float, cfg
+    outs_npad, n: int, dtype: np.dtype, sf: float, mean: float, cfg,
+    bound_bad: list | None = None, seg_index: int = 0,
 ) -> bytes:
     """Host stage of one DPK segment: pull the device results and pack the
     same v2 container the monolithic path emits (api._pack_dpk_v2)."""
@@ -274,6 +311,10 @@ def _pack_segment_dpk(
             (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc)
         )
     )
+    if cfg.verify and bound_bad is not None and not bool(
+        jax.device_get(_ok)
+    ):
+        bound_bad.append(seg_index)
     header = ct.Header(
         dtype=dtype,
         num_elements=n,
@@ -297,12 +338,17 @@ def _pack_segment_dpk(
 
 
 def _pack_segment(
-    q, n: int, dtype: np.dtype, sf: float, mean: float, cfg: CodecConfig
+    q, n: int, dtype: np.dtype, sf: float, mean: float, cfg: CodecConfig,
+    bound_bad: list | None = None, seg_index: int = 0,
 ) -> bytes:
     """Host stage of one segment: pull device results, entropy-code, pack
     (same filters/codecs as the monolithic v2 path)."""
     from .api import _assemble_ac, _ids_streams
 
+    if q.bound_ok is not None and bound_bad is not None and not bool(
+        jax.device_get(q.bound_ok)
+    ):
+        bound_bad.append(seg_index)
     ac, bin_ids, ac_count = _assemble_ac(q)
     dc = np.asarray(jax.device_get(q.dc))
     qtable = np.asarray(jax.device_get(q.qtable)) if q.qtable is not None else None

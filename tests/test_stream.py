@@ -48,6 +48,36 @@ def test_stream_segments_independently_decodable():
     np.testing.assert_array_equal(np.concatenate(segs).shape, x.shape)
 
 
+@pytest.mark.parametrize("mode", ["ec", "qt"])
+def test_stream_generic_segments_verify_bound(mode):
+    """cfg.verify on the generic (non-DPK) segment path: each segment runs
+    verify-repair against the GLOBAL tolerance (pre-round-4 it was silently
+    ignored). sedov is the canonical pointwise-bound violator."""
+    from dctz_tpu.eval.datasets import SUITES
+
+    x = next(ds for ds in SUITES["msst19"] if ds.name == "sedov").load()
+    eb = 1e-3
+    # without verify the segmented encoding violates the bound (the bug)
+    buf0 = io.BytesIO()
+    stream.compress_stream(
+        x, buf0, config=CodecConfig(mode=mode, error_bound=eb, container="v2"),
+        segment_elems=1 << 16,
+    )
+    buf0.seek(0)
+    y0 = stream.decompress_stream_all(buf0)
+    assert not dctz_tpu.evaluate(x, y0, eb)["bound_satisfied"]
+
+    buf = io.BytesIO()
+    stream.compress_stream(
+        x, buf,
+        config=CodecConfig(mode=mode, error_bound=eb, container="v2", verify=True),
+        segment_elems=1 << 16,
+    )
+    buf.seek(0)
+    y = stream.decompress_stream_all(buf)
+    assert dctz_tpu.evaluate(x, y, eb)["bound_satisfied"]
+
+
 def test_stream_bad_magic():
     with pytest.raises(ValueError, match="not a DCTZ-TPU stream"):
         list(stream.decompress_stream(io.BytesIO(b"JUNK" + b"\0" * 12)))

@@ -713,11 +713,18 @@ def _dpk_sections(
     return (width_sec, f_packed.result(), f_exc.result(), f_meta.result())
 
 
-def _dpk_host_rebuild(header: ct.Header, streams):
+def _dpk_host_rebuild(header: ct.Header, streams, tile_range=None):
     """Re-inflate a DPK container's small side streams and re-pad the tight
     layouts into the fixed-capacity device inputs. Returns
     (width (T,bs), rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
-    ac_counts, nblk)."""
+    ac_counts, nblk).
+
+    tile_range=(t0, t1): rebuild only tiles [t0, t1) — the multi-host slice
+    decode (parallel/multihost.decompress_multihost). width/rows/exc_rows
+    cover just the slice (the BULK packed section is byte-range-sliced:
+    zero-copy for verbatim containers, chunk-range-decoded for the
+    dpks/dpkz ratio modes), while meta/dc_raw/ac_raw/ac_counts/nblk stay
+    GLOBAL — the caller slices DC/AC by its own count prefixes."""
     from . import native
     from .ops import idpack
 
@@ -737,6 +744,27 @@ def _dpk_host_rebuild(header: ct.Header, streams):
             return native.rans_decompress(entropy.join_chunks(packed_raw))
         return entropy.join_chunks(packed_raw)  # zero-copy for verbatim views
 
+    def _tight_range(b0: int, b1: int):
+        """Decoded bytes [b0, b1) of the packed section, touching as little
+        of it as possible: verbatim sections slice the container buffer
+        itself; chunked host codecs decode only the covering chunks; the
+        joined rANS stream has no random access (full decode + slice)."""
+        if header.dpks:
+            return entropy.decode_chunk_range(
+                packed_raw, b0, b1, entropy.zstd_decompress
+            )
+        if header.dpkz:
+            import zlib
+
+            return entropy.decode_chunk_range(
+                packed_raw, b0, b1, lambda c: zlib.decompress(bytes(c))
+            )
+        if header.dpkr:
+            return memoryview(
+                native.rans_decompress(entropy.join_chunks(packed_raw))
+            )[b0:b1]
+        return memoryview(entropy.join_chunks(packed_raw))[b0:b1]
+
     def _exc_task():  # zst/rans flags cover the exceptions in DPK containers
         if header.zst:
             return entropy.chunked_unzstd(exc_z)
@@ -745,7 +773,8 @@ def _dpk_host_rebuild(header: ct.Header, streams):
         return entropy.chunked_inflate(exc_z)
 
     f_width = pool.submit(_side, widths_z)
-    f_tight = pool.submit(_tight_task)
+    if tile_range is None:
+        f_tight = pool.submit(_tight_task)
     f_exc = pool.submit(_exc_task)
     f_dc = pool.submit(_decode_float_section, header, dz)
     f_ac = pool.submit(_decode_float_section, header, az)
@@ -767,23 +796,45 @@ def _dpk_host_rebuild(header: ct.Header, streams):
 
     width = np.frombuffer(f_width.result(), np.uint8, rows_n).reshape(t, bs)
     bpr = idpack.packed_nbytes(width.reshape(-1), tile_b)
-    # the two row re-pads are independent of each other and of the DC/AC
-    # sections: run the packed one on the pool while this thread pads the
-    # exceptions (the pads are the decode-host cost center after the
-    # section inflations — docs/benchmarks.md)
-    f_rows = pool.submit(
-        lambda: entropy.pad_row_prefixes(
-            f_tight.result(), bpr, tile_b // 2, np.uint8
+    if tile_range is not None:
+        t0, t1 = tile_range
+        epc = (tile_b * bs) // cw  # chunk rows per tile
+        cum = np.concatenate(([0], np.cumsum(bpr, dtype=np.int64)))
+        tight = _tight_range(int(cum[t0 * bs]), int(cum[t1 * bs]))
+        width = width[t0:t1]
+        bpr = bpr[t0 * bs : t1 * bs]
+        c0 = t0 * epc
+        c1 = min(t1 * epc, n_chunks)
+        ecum = np.concatenate(([0], np.cumsum(exc_counts, dtype=np.int64)))
+        exc_slice = slice(int(ecum[c0]), int(ecum[c1]))
+        exc_counts_loc = exc_counts[c0:c1]
+        f_rows = pool.submit(
+            lambda: entropy.pad_row_prefixes(
+                tight, bpr, tile_b // 2, np.uint8
+            )
         )
-    )
-    exc_tight = np.frombuffer(f_exc.result(), np.uint8)
-    peak_e = int(exc_counts.max()) if exc_counts.size else 0
+    else:
+        exc_slice = slice(None)
+        exc_counts_loc = exc_counts
+        # the two row re-pads are independent of each other and of the DC/AC
+        # sections: run the packed one on the pool while this thread pads the
+        # exceptions (the pads are the decode-host cost center after the
+        # section inflations — docs/benchmarks.md)
+        f_rows = pool.submit(
+            lambda: entropy.pad_row_prefixes(
+                f_tight.result(), bpr, tile_b // 2, np.uint8
+            )
+        )
+    exc_tight = np.frombuffer(f_exc.result(), np.uint8)[exc_slice]
+    peak_e = int(exc_counts_loc.max()) if exc_counts_loc.size else 0
     cape = next(
         c
         for c in [c for c in (32, 64, 128, 256) if c < cw] + [cw]
         if c >= min(peak_e, cw)
     )
-    exc_rows = entropy.pad_row_prefixes(exc_tight, exc_counts, cape, np.uint8)
+    exc_rows = entropy.pad_row_prefixes(
+        exc_tight, exc_counts_loc, cape, np.uint8
+    )
 
     rows = f_rows.result()
     dc_raw = f_dc.result()
@@ -992,6 +1043,101 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
         mesh=mesh,
     )
     return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]
+
+
+def _dpk_meta(header: ct.Header, streams) -> tuple[int, int, int]:
+    """(n_stream, tile_b, cw) from a DPK container's meta section alone —
+    the multi-host decoder needs the tile geometry to pick its slice BEFORE
+    committing to any bulk-section work."""
+    _side = entropy.chunked_unzstd if header.zst else entropy.chunked_inflate
+    meta = _side(streams[3])
+    return struct.unpack_from(_DPK_META_FMT, meta, 0)
+
+
+def _decompress_dpk_range(
+    header: ct.Header, streams, qtable, t0: int, t1: int
+) -> np.ndarray:
+    """Decode ONLY tiles [t0, t1) of a monolithic DPK container — the
+    multi-host parallel decode of one big container (each host takes a
+    tile-aligned range; the reference decompresses strictly single-shot,
+    dctz-decomp-lib.c). The bulk packed section is byte-range-sliced on the
+    host (zero-copy for verbatim containers); the device decodes only the
+    slice's tiles. DC/AC float sections still decode fully per host (their
+    PLC planes span the array) — noted follow-up in docs/roadmap.md.
+
+    Returns the decoded elements of [t0*tile_b*bs, min(t1*tile_b*bs,
+    num_elements)) in the container dtype."""
+    (
+        width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
+        ac_counts, nblk,
+    ) = _dpk_host_rebuild(header, streams, tile_range=(t0, t1))
+    cfg = _header_config(header)
+    bs = header.block_size
+    n_chunks = (nblk * bs) // cw
+    epc = (tile_b * bs) // cw
+
+    stored = np.dtype(np.float32)
+    if len(dc_raw) == nblk * header.dtype.itemsize and header.dtype != stored:
+        stored = header.dtype
+        cfg = dataclasses.replace(cfg, truncate=False)
+    dc_full = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+    ac_full = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+
+    c0, c1 = t0 * epc, min(t1 * epc, n_chunks)
+    acum = np.concatenate(([0], np.cumsum(ac_counts, dtype=np.int64)))
+    ac_loc = ac_full[int(acum[c0]) : int(acum[c1])]
+    counts_loc = ac_counts[c0:c1]
+    peak = int(counts_loc.max()) if counts_loc.size else 0
+    tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
+    capc = next(tt for tt in tiers if tt >= min(peak, cw))
+    ac_rows = entropy.pad_row_prefixes(ac_loc, counts_loc, capc, stored)
+    dc_loc = dc_full[t0 * tile_b : min(t1 * tile_b, nblk)]
+
+    n_lo = t0 * tile_b * bs
+    n_loc = min(t1 * tile_b * bs, n_stream) - n_lo
+
+    out_dtype = header.dtype
+    work = _decode_work_dtype(header, True)
+    dev = (
+        jnp.asarray(width),
+        jnp.asarray(rows),
+        jnp.asarray(exc_rows),
+        jnp.asarray(dc_loc),
+        jnp.asarray(ac_rows),
+    )
+    sf = jnp.asarray(header.scaling_factor, jnp.dtype(work))
+    qt = (
+        jnp.asarray(qtable).astype(jnp.dtype(work))
+        if qtable is not None
+        else None
+    )
+    with _f32_device_trace(work):
+        if (
+            jnp.dtype(work) == jnp.float64
+            and jax.config.jax_enable_x64
+            and _tpu_like_backend()
+        ):
+            # split program, as in _decompress_dpk: the u8 unpack cannot
+            # trace under x64 on TPU (Mosaic convert recursion)
+            from .ops import idpack
+
+            nblk_loc = -(-n_loc // bs)
+            with _pallas_x64_guard():
+                bin_ids = _unpack_ids_device(
+                    dev[0], dev[1], dev[2], nblk_loc, bs, tile_b, cw
+                )
+            x = _decode_device(
+                bin_ids, dev[3], dev[4], n_loc, _device_cfg(cfg), work,
+                "chunked", False, sf, qt,
+            )
+        else:
+            x = _decode_device_dpk(
+                *dev, n_loc, _device_cfg(cfg), work, "chunked", tile_b, cw,
+                sf, qt,
+            )
+    out = np.asarray(jax.device_get(x), dtype=out_dtype)
+    n_hi = min(t1 * tile_b * bs, header.num_elements)
+    return out[: n_hi - n_lo]
 
 
 def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes]:

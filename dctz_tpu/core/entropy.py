@@ -323,6 +323,29 @@ def join_chunks(chunks: Sequence[bytes | memoryview]) -> bytes | memoryview:
     return b"".join(chunks)
 
 
+def decode_chunk_range(chunks, b0: int, b1: int, decode_one):
+    """Decode only the chunks of a fixed-chunk-size section covering DECODED
+    byte range [b0, b1) and return exactly those bytes. The decoded chunk
+    size is learned from chunk 0 (every chunk but the last decodes to the
+    same size by construction of chunked_deflate/chunked_zstd) — no
+    pack-time configuration needed. Used by the multi-host slice decode:
+    a host touches only its share of the bulk section."""
+    if not chunks or b1 <= b0:
+        return b""
+    first = decode_one(chunks[0])
+    dec_cs = len(first)
+    if len(chunks) == 1 or dec_cs == 0:
+        return memoryview(first)[b0:b1]
+    k0 = min(b0 // dec_cs, len(chunks) - 1)
+    k1 = min(len(chunks), -(-b1 // dec_cs))
+    parts = [
+        first if k == 0 else decode_one(chunks[k]) for k in range(k0, k1)
+    ]
+    data = parts[0] if len(parts) == 1 else b"".join(parts)
+    off = b0 - k0 * dec_cs
+    return memoryview(data)[off : off + (b1 - b0)]
+
+
 def take_row_prefixes(rows, lens) -> "np.ndarray":
     """Gather lens[i] leading items of each capacity row into a tight 1-D
     array (any itemsize). The threaded native memcpy loop when available;

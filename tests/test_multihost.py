@@ -228,6 +228,99 @@ def test_decompress_multihost_single_process():
     assert dctz_tpu.evaluate(x, res.data, 1e-3)["bound_satisfied"]
 
 
+def test_decompress_multihost_monolithic_single_process():
+    """A monolithic (non-DTZS) container restores too: single process gets
+    the whole array back with start 0."""
+    from dctz_tpu.config import CodecConfig
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(64 * 170 + 3) * 9).astype(np.float32)
+    blob = dctz_tpu.compress(
+        x, config=CodecConfig(error_bound=1e-3, container="v2",
+                              segment_elems=0)
+    )
+    assert blob[:4] != b"DTZS"
+    res = mh.decompress_multihost(blob)
+    assert res.start == 0 and res.frames == ()
+    assert dctz_tpu.evaluate(x, res.data, 1e-3)["bound_satisfied"]
+
+
+def test_dpk_range_decode_matches_full():
+    """api._decompress_dpk_range: tile-range decodes concatenate to the
+    byte-exact full decode, for every host codec of the packed section
+    (verbatim / zstd / deflate / rANS) and a ragged tail tile."""
+    from dctz_tpu import api
+    from dctz_tpu.config import CodecConfig
+    from dctz_tpu.core import container as ct
+    from dctz_tpu.ops import idpack
+
+    rng = np.random.default_rng(11)
+    for n, codec in [
+        ((1 << 16) + 777, "none"),
+        (1 << 16, "zstd"),
+        (1 << 16, "deflate"),
+        (1 << 15, "rans"),
+    ]:
+        x = (
+            np.sin(np.arange(n, dtype=np.float32) * 0.01) * 20
+            + rng.standard_normal(n).astype(np.float32) * 0.05
+        )
+        cfg = CodecConfig(
+            mode="ec", error_bound=1e-3, container="v2",
+            ids_codec="device", dpk_host_codec=codec, segment_elems=0,
+        )
+        blob = dctz_tpu.compress(x, config=cfg)
+        header, streams, qtable, _cb = ct.parse_v2(blob)
+        assert header.dpk, (n, codec)
+        full = dctz_tpu.decompress(blob)
+        n_stream, tile_b, cw = api._dpk_meta(header, streams)
+        t = idpack.tiles_of(-(-n_stream // header.block_size), tile_b)
+        cuts = sorted({0, t // 3, 2 * t // 3, t})
+        y = np.concatenate([
+            api._decompress_dpk_range(header, streams, qtable, a, b)
+            for a, b in zip(cuts[:-1], cuts[1:])
+        ])
+        np.testing.assert_array_equal(y, full, err_msg=f"{n} {codec}")
+
+
+def test_distributed_restore_monolithic_dpk(tmp_path):
+    """ONE monolithic DPK v2 container restored by 2 distributed processes:
+    each host decodes only its tile range (api._decompress_dpk_range) and
+    the slices reassemble to the bound-satisfying array."""
+    import importlib.util
+
+    from dctz_tpu.config import CodecConfig
+
+    worker = pathlib.Path(__file__).parent / "_mh_worker.py"
+    spec = importlib.util.spec_from_file_location("_mh_worker", worker)
+    wmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wmod)
+
+    n_total = 64 * 1200 + 7
+    x = wmod.make_data(n_total)
+    blob = dctz_tpu.compress(
+        x,
+        config=CodecConfig(
+            mode="ec", error_bound=1e-3, container="v2",
+            ids_codec="device", verify=True, segment_elems=0,
+        ),
+    )
+    assert blob[:4] != b"DTZS"
+    (tmp_path / "mono.bin").write_bytes(blob)
+
+    outs = _run_workers(
+        tmp_path, n_total, 2, "restore", "device",
+        stream=tmp_path / "mono.bin", tag="m",
+    )
+    parts = [np.load(o) for o in outs]
+    full, frames = _reassemble(parts, n_total)
+    # no frames: the tile-range path, not the DTZS frame path
+    assert all(len(f) == 0 for f in frames), frames
+    starts = sorted(int(pz["start"]) for pz in parts)
+    assert starts[0] == 0 and starts[1] > 0  # both hosts held real data
+    assert dctz_tpu.evaluate(x, full, 1e-3)["bound_satisfied"]
+
+
 def test_multiprocess_save_restore_roundtrip(tmp_path):
     """Save on 2 jax.distributed processes, then RESTORE on 2 fresh
     processes: each restoring host decodes exactly ONE frame (its own) and

@@ -84,7 +84,9 @@ def _encode_device(
     optionally followed by the in-program verify-repair pass (cfg.verify)."""
     stats = calc_data_stat(x, cfg.sf_adj)
     xs = x / stats.sf  # reference divides in place (dctz-comp-lib.c:198)
-    main_c, tail_c = transform.forward(xs, cfg.block_size)
+    main_c, tail_c = transform.forward(
+        xs, cfg.block_size, precision=transform.prec_of(cfg.dct_precision)
+    )
     coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
     q = qz.encode(coeffs, n, cfg, ac_capacity)
     if cfg.verify:
@@ -316,14 +318,14 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             )
             uout = x_pipeline(
                 arr, sf, cfg.error_bound, idpack.CAPE, n, cfg.verify,
-                cfg.brsf,
+                cfg.brsf, cfg.dct_precision,
             )
             if bool(jax.device_get(uout[7])):
                 # exception-capacity overflow: retry at full chunk width
                 uout = x_pipeline(
                     arr, sf, cfg.error_bound,
                     chunk_width(n_pad, cfg.block_size), n, cfg.verify,
-                    cfg.brsf,
+                    cfg.brsf, cfg.dct_precision,
                 )
             pk = uout[:4]
             ac_chunks, counts, dc = uout[4], uout[5], uout[6]

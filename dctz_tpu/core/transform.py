@@ -70,7 +70,18 @@ def _use_wide() -> bool:
         return False
 
 
-def block_dct_flat(x: jax.Array, block_size: int) -> jax.Array:
+def prec_of(name: str) -> jax.lax.Precision:
+    """Map CodecConfig.dct_precision to the lax enum ("high" = 3-pass
+    bf16x3, the documented relaxed ANALYSIS mode; everything else
+    HIGHEST)."""
+    return (
+        jax.lax.Precision.HIGH if name == "high" else jax.lax.Precision.HIGHEST
+    )
+
+
+def block_dct_flat(
+    x: jax.Array, block_size: int, precision=jax.lax.Precision.HIGHEST
+) -> jax.Array:
     """Forward DCT of a flat array whose length is a block multiple;
     returns (nblk, block_size). Uses the wide block-diagonal formulation on
     TPU (same math; summation order differs by at most the zero terms)."""
@@ -80,11 +91,9 @@ def block_dct_flat(x: jax.Array, block_size: int) -> jax.Array:
         bd = jnp.asarray(
             _blockdiag_np(block_size, lanes // block_size, True), x.dtype
         )
-        out = jnp.matmul(
-            x.reshape(-1, lanes), bd, precision=jax.lax.Precision.HIGHEST
-        )
+        out = jnp.matmul(x.reshape(-1, lanes), bd, precision=precision)
         return out.reshape(-1, block_size)
-    return block_dct(x.reshape(-1, block_size))
+    return block_dct(x.reshape(-1, block_size), precision=precision)
 
 
 def block_idct_flat(coeffs: jax.Array) -> jax.Array:
@@ -100,7 +109,11 @@ def block_idct_flat(coeffs: jax.Array) -> jax.Array:
     return block_idct(coeffs).reshape(-1)
 
 
-def block_dct(blocks: jax.Array, basis: jax.Array | None = None) -> jax.Array:
+def block_dct(
+    blocks: jax.Array,
+    basis: jax.Array | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
     """Forward DCT-II of a batch of blocks: (..., n) -> (..., n).
 
     Equivalent to the reference's per-block dct_fftw loop
@@ -109,7 +122,7 @@ def block_dct(blocks: jax.Array, basis: jax.Array | None = None) -> jax.Array:
     n = blocks.shape[-1]
     if basis is None:
         basis = dct2_basis(n, blocks.dtype)
-    return jnp.matmul(blocks, basis.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(blocks, basis.T, precision=precision)
 
 
 def block_idct(coeffs: jax.Array, basis: jax.Array | None = None) -> jax.Array:
@@ -136,7 +149,9 @@ def split_blocks(x: jax.Array, block_size: int) -> tuple[jax.Array, jax.Array]:
     return main, tail
 
 
-def forward(x: jax.Array, block_size: int) -> tuple[jax.Array, jax.Array]:
+def forward(
+    x: jax.Array, block_size: int, precision=jax.lax.Precision.HIGHEST
+) -> tuple[jax.Array, jax.Array]:
     """Blockwise forward DCT of a flat array.
 
     Returns (main_coeffs (n_full, block_size), tail_coeffs (rem,)).
@@ -144,9 +159,9 @@ def forward(x: jax.Array, block_size: int) -> tuple[jax.Array, jax.Array]:
     remainder block (dctz-comp-lib.c:326-336).
     """
     main, tail = split_blocks(x, block_size)
-    main_c = block_dct_flat(main.reshape(-1), block_size)
+    main_c = block_dct_flat(main.reshape(-1), block_size, precision=precision)
     if tail.shape[0] > 0:
-        tail_c = block_dct(tail[None, :])[0]
+        tail_c = block_dct(tail[None, :], precision=precision)[0]
     else:
         tail_c = tail
     return main_c, tail_c

@@ -384,7 +384,7 @@ def fused_encode_pipeline_dpk(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def fused_encode_pipeline_dpk_ec(
     x: jax.Array,
     sf: jax.Array,
@@ -393,6 +393,7 @@ def fused_encode_pipeline_dpk_ec(
     n_true: int,
     verify: bool,
     brsf: float = 1.0,
+    dct_precision: str = "highest",
 ):
     """Single-kernel EC DPK encode (ops/dpk_fuse.encode_x_fused): DCT +
     quantize + optional in-kernel verify-repair + pack/compact in ONE
@@ -414,11 +415,11 @@ def fused_encode_pipeline_dpk_ec(
     tol = (xv_max - xv_min) * jnp.asarray(error_bound, x.dtype) * _SLACK
     return dpk_fuse.encode_x_fused(
         x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify,
-        brsf=brsf,
+        brsf=brsf, dct_precision=dct_precision,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def fused_encode_pipeline_dpk_qt_v2(
     x: jax.Array,
     sf: jax.Array,
@@ -427,6 +428,7 @@ def fused_encode_pipeline_dpk_qt_v2(
     n_true: int,
     verify: bool,
     brsf: float = 1.0,
+    dct_precision: str = "highest",
 ):
     """QT twin of fused_encode_pipeline_dpk_ec: the qmax pass reduces the
     global qtable (pass 1), then ONE x-input kernel does the renormalizing
@@ -464,7 +466,7 @@ def fused_encode_pipeline_dpk_qt_v2(
     tol = (xv_max - xv_min) * jnp.asarray(error_bound, x.dtype) * _SLACK
     out = dpk_fuse.encode_x_fused(
         x, sf, tol, n_true, error_bound, min(cape, cw), cw, verify,
-        qtable, qtf, brsf,
+        qtable, qtf, brsf, dct_precision,
     )
     qtable = qtable.at[0].set(out[6][-1])
     return out + (qtable,)

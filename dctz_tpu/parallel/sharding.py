@@ -68,7 +68,9 @@ def _local_encode(x_local, n_real, cfg, ac_capacity, axis_name, compaction):
 
     xs = x_local / sf
     n_local = xs.shape[0]  # multiple of block_size by construction
-    coeffs = transform.block_dct_flat(xs, cfg.block_size)
+    coeffs = transform.block_dct_flat(
+        xs, cfg.block_size, precision=transform.prec_of(cfg.dct_precision)
+    )
     q = qz.encode(
         coeffs, n_local, cfg, ac_capacity, axis_name=axis_name,
         compaction=compaction,
@@ -204,6 +206,7 @@ def encode_sharded(
          ovf, ok) = dpk_fuse.encode_x_fused(
             x_local, sf, tol, nv_local, cfg.error_bound,
             min(cape or idpack.CAPE, cw), cw, cfg.verify, brsf=cfg.brsf,
+            dct_precision=cfg.dct_precision,
         )
         ovf = jax.lax.pmax(ovf.astype(jnp.int32), AXIS)
         ok = (

@@ -72,7 +72,9 @@ def _encode_segment(
     path silently ignored cfg.verify — only the fused DPK segments
     verified)."""
     xs = x / sf.astype(x.dtype)
-    main_c, tail_c = transform.forward(xs, cfg.block_size)
+    main_c, tail_c = transform.forward(
+        xs, cfg.block_size, precision=transform.prec_of(cfg.dct_precision)
+    )
     from .api import _pad_coeffs
 
     coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
@@ -272,7 +274,7 @@ def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape):
     cw = qz.chunk_width(x.shape[0], cfg.block_size)
     return dpk_fuse.encode_x_fused(
         x, sf, tol, n_valid, float(cfg.error_bound), min(cape, cw), cw,
-        cfg.verify, brsf=cfg.brsf,
+        cfg.verify, brsf=cfg.brsf, dct_precision=cfg.dct_precision,
     )
 
 

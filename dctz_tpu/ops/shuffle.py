@@ -178,34 +178,48 @@ def route_compact_unified(
     narrow_scr is accepted for signature stability and IGNORED: a
     cape_k-lane tighten (scratch-realigned slice) was measured as a ~1 ms
     candidate but its Mosaic compile hangs on the real backend (round-4
-    negative result — the tighten stays at full width)."""
+    negative result — the tighten stays at full width).
+
+    Round-4 roll diet: the old form routed the f32 value through the
+    exception compact (2 rolls/stage) and then tightened the compacted
+    escapes (2 more rolls/stage) — ~32 rolls. But stable routing preserves
+    original order on BOTH paths, so the AC values can compact DIRECTLY
+    from their original positions by the escape mask, and the exception
+    network only needs its control word: log2(cw) single-roll stages for
+    the ids + log2(cw) double-roll stages for the values = ~27 rolls, with
+    the cape overflow cut applied via the exception RANK (identical to the
+    old compact-position cut). Outputs are bit-identical (tests/
+    test_shuffle.py, test_dpk_fuse.py)."""
     del narrow_scr
     cw = m_i32.shape[1]
     cum = _cumsum(m_i32, col, cw)
     d = col - (cum - 1)
+    # phase A: exception ids only — the value does not ride the network
     comb = jnp.where(m_i32 != 0, _LIVE | (d << 8) | idb_i32, 0)
-    vv = vals
     k = 8
     s = 1
     while s < cw:
-        comb, (vv,) = _stage_left(comb, (vv,), s, col, cw, 1 << k)
+        comb, _ = _stage_left(comb, (), s, col, cw, 1 << k)
         k += 1
         s *= 2
     kv = (comb >= _LIVE) & (col < cape)
     exc_b = jnp.where(kv, comb & 255, 0)
-    uv = jnp.where(kv, vv, 0.0)
 
-    # tighten: AC escapes out of the union prefix (distances < cape)
-    esc = (kv & (exc_b == C.ESCAPE)).astype(jnp.int32)
+    # phase B: AC values straight from original positions by the escape
+    # mask; rank < cape reproduces the old post-compact cape cut
+    esc = (
+        (m_i32 != 0) & (idb_i32 == C.ESCAPE) & (cum - 1 < cape)
+    ).astype(jnp.int32)
     cum2 = _cumsum(esc, col, cw)
     comb2 = jnp.where(esc != 0, _LIVE | (col - (cum2 - 1)), 0)
+    vv = vals
     k = 0
     s = 1
-    while s < cape:
-        comb2, (uv,) = _stage_left(comb2, (uv,), s, col, cw, 1 << k)
+    while s < cw:
+        comb2, (vv,) = _stage_left(comb2, (vv,), s, col, cw, 1 << k)
         k += 1
         s *= 2
-    ac = jnp.where(comb2[:, :capc] >= _LIVE, uv[:, :capc], 0.0)
+    ac = jnp.where(comb2[:, :capc] >= _LIVE, vv[:, :capc], 0.0)
     return exc_b[:, :cape], ac
 
 

@@ -477,28 +477,80 @@ def encode_float_stream(
     items = n // itemsize
     shuffled = memoryview(shuffle_bytes(data, itemsize)) if itemsize > 1 else data
     planes = [shuffled[i * items : (i + 1) * items] for i in range(itemsize)]
+    return encode_float_planes(planes, chunk_bytes, level, use_zlib)
+
+
+def encode_float_planes(
+    planes, chunk_bytes: int, level: int = 6, use_zlib: bool = False
+) -> list[bytes]:
+    """encode_float_stream body for ALREADY-SPLIT byte planes (u8 buffers,
+    one per byte of the item). The device-plane encode path
+    (api._plane_split2) lands here directly — the section bytes are
+    IDENTICAL to the host-shuffled route because the shuffle is exactly
+    this plane split."""
+    import struct
+
+    itemsize = len(planes)
+    items = len(planes[0])
     methods = bytearray(itemsize)
     # finer chunks balance the 4-thread pool: the 512 KB bench exponent
     # plane deflates in 3.9 ms at 128 KB chunks vs 7.3 ms at 256 KB, for
     # +6 KB (~0.05% of the container)
     chunk_bytes = min(chunk_bytes, 1 << 17)
-    for i, plane in enumerate(planes):
-        methods[i] = _plc_method(plane, level, use_zlib)
+    # probe all planes concurrently (independent samples), then submit
+    # EVERY coding task before gathering any — cross-plane parallelism.
+    # On the 4-core dev host this measures ~flat (pool already saturated;
+    # VM noise dominates) but it removes the serial-per-plane structure
+    # that would idle a production host's wider pool. Chunk tasks are
+    # submitted from this thread only (never from inside a pool worker —
+    # nested gathers on the same pool can deadlock); raw planes stay
+    # ZERO-COPY views of the shuffled buffer.
+    m_futs = [
+        _pool().submit(_plc_method, p, level, use_zlib) for p in planes
+    ]
+    for i, f in enumerate(m_futs):
+        methods[i] = f.result()
 
-    def _code(i: int, p: memoryview) -> list[bytes]:
+    def _dfl_task(c):
+        z = deflate(c, level, 0)
+        return z, zlib.crc32(z)
+
+    chunk_futs: list = [None] * itemsize
+    single_futs: list = [None] * itemsize
+    for i, p in enumerate(planes):
         if methods[i] == 3:
-            return chunked_zstd(p, chunk_bytes, _PLC_ZSTD_LEVEL)
-        if methods[i] == 2:
+            cs = [
+                p[o : o + chunk_bytes] for o in range(0, len(p), chunk_bytes)
+            ]
+            chunk_futs[i] = [
+                _pool().submit(_zstd_crc, c, _PLC_ZSTD_LEVEL) for c in cs
+            ]
+        elif methods[i] == 2:
             from .. import native
 
-            return [native.rans_compress(bytes(p))]
-        if methods[i] == 1:
-            return chunked_deflate(p, chunk_bytes, level)
-        return [bytes(p)]
+            single_futs[i] = _pool().submit(
+                lambda q=p: [native.rans_compress(bytes(q))]
+            )
+        elif methods[i] == 1:
+            cs = [
+                p[o : o + chunk_bytes] for o in range(0, len(p), chunk_bytes)
+            ]
+            chunk_futs[i] = [_pool().submit(_dfl_task, c) for c in cs]
 
-    out_planes: list[list[bytes]] = [
-        _code(i, p) for i, p in enumerate(planes)
-    ]
+    out_planes: list[list[bytes]] = []
+    for i, p in enumerate(planes):
+        if chunk_futs[i] is not None:
+            ol = ChunkList()
+            ol.crcs = []
+            for f in chunk_futs[i]:
+                z, crc = f.result()
+                ol.append(z)
+                ol.crcs.append(crc)
+            out_planes.append(ol)
+        elif single_futs[i] is not None:
+            out_planes.append(single_futs[i].result())
+        else:
+            out_planes.append([p])  # raw: zero-copy view
     directory = struct.pack("<B", itemsize) + bytes(methods)
     directory += struct.pack("<I", items)
     directory += struct.pack(
@@ -528,21 +580,35 @@ def decode_float_stream(chunks: list[bytes]) -> bytes:
     methods = directory[1 : 1 + itemsize]
     (items,) = struct.unpack_from("<I", directory, 1 + itemsize)
     counts = struct.unpack_from(f"<{itemsize}H", directory, 5 + itemsize)
-    planes = []
+    # submit every plane's chunk decodes before gathering any (cross-plane
+    # parallelism, mirror of the encode side); raw planes join zero-copy
+    # when their chunks are consecutive views of the container buffer
+    subs = []
     off = 1
     for i in range(itemsize):
-        sub = chunks[off : off + counts[i]]
+        subs.append(chunks[off : off + counts[i]])
         off += counts[i]
-        if methods[i] == 0:
-            plane = b"".join(sub)
-        elif methods[i] == 3:
-            plane = chunked_unzstd(sub)
+    chunk_futs: list = [None] * itemsize
+    single_futs: list = [None] * itemsize
+    for i, sub in enumerate(subs):
+        if methods[i] == 3:
+            chunk_futs[i] = [_pool().submit(zstd_decompress, c) for c in sub]
         elif methods[i] == 2:
             from .. import native
 
-            plane = native.rans_decompress(b"".join(sub))
+            single_futs[i] = _pool().submit(
+                lambda s=sub: native.rans_decompress(b"".join(s))
+            )
+        elif methods[i] == 1:
+            chunk_futs[i] = [_pool().submit(inflate, c) for c in sub]
+    planes = []
+    for i, sub in enumerate(subs):
+        if chunk_futs[i] is not None:
+            plane = b"".join(f.result() for f in chunk_futs[i])
+        elif single_futs[i] is not None:
+            plane = single_futs[i].result()
         else:
-            plane = chunked_inflate(sub)
+            plane = join_chunks(sub)
         if len(plane) != items:
             raise ValueError(
                 f"plane {i} decodes to {len(plane)} bytes, expected {items}"

@@ -280,7 +280,10 @@ def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape):
 
 def _encode_segment_dpk(seg: np.ndarray, sf: float, tol: float, cfg):
     """Device stage of one DPK segment (padded to the 1024 tile quantum);
-    retries once at full chunk width on capacity overflow."""
+    retries once at full chunk width on capacity overflow. The f32 DC/AC
+    streams leave the device as byte planes (api._plane_split2) so the
+    host packer skips its shuffle pass."""
+    from .api import _plane_mode, _plane_split2
     from .ops import idpack
 
     n = seg.shape[0]
@@ -295,7 +298,10 @@ def _encode_segment_dpk(seg: np.ndarray, sf: float, tol: float, cfg):
         outs = _encode_segment_dpk_jit(
             xs, sfv, tolv, n, cfg, qz.chunk_width(n + pad, cfg.block_size)
         )
-    return outs, n + pad
+    planes = (
+        _plane_split2(outs[6], outs[4]) if _plane_mode(cfg, outs[6]) else None
+    )
+    return outs, planes, n + pad
 
 
 def _pack_segment_dpk(
@@ -307,12 +313,22 @@ def _pack_segment_dpk(
     from .api import _pack_dpk_v2
 
     (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc, _ovf,
-     _ok), n_pad = outs_npad
-    width, packed, exc_rows, exc_counts, ac_chunks, counts, dc = (
-        jax.device_get(
-            (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc)
+     _ok), planes, n_pad = outs_npad
+    dc_planes = ac_planes = None
+    if planes is not None:
+        width, packed, exc_rows, exc_counts, dc_planes, ac_planes, counts = (
+            jax.device_get(
+                (width, packed, exc_rows, exc_counts, planes[0], planes[1],
+                 counts)
+            )
         )
-    )
+        ac_chunks = dc = None
+    else:
+        width, packed, exc_rows, exc_counts, ac_chunks, counts, dc = (
+            jax.device_get(
+                (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc)
+            )
+        )
     if cfg.verify and bound_bad is not None and not bool(
         jax.device_get(_ok)
     ):
@@ -335,7 +351,7 @@ def _pack_segment_dpk(
     )
     return _pack_dpk_v2(
         header, width, packed, exc_rows, exc_counts, counts, ac_chunks,
-        dc, n_pad, cfg, None,
+        dc, n_pad, cfg, None, dc_planes=dc_planes, ac_planes=ac_planes,
     )
 
 

@@ -18,7 +18,7 @@ x = (np.sin(t * np.float32(0.001)) * np.float32(40.0)
      + np.sin(t * np.float32(0.137)) * np.float32(3.0)
      + np.sin(t * np.float32(2.03)) * np.float32(0.3))
 x = np.where(np.arange(N, dtype=np.int32) % 9973 == 0, x * np.float32(8.0), x).astype(np.float32)
-CFG = CodecConfig(mode="ec", error_bound=1e-3, container="v2", ids_codec="device", verify=True)
+CFG = CodecConfig(mode="ec", error_bound=1e-3, container="v2", ids_codec="device", verify=True, segment_elems=0)
 blob = dctz_tpu.compress(x, config=CFG)
 print("ratio", N*4/len(blob))
 

@@ -150,6 +150,22 @@ def _decode_device(
     return _decode_core(bin_ids, dc, ac_buf, n, cfg, dtype, ac_layout, sf, qtable)
 
 
+def _combine_planes(pl: jax.Array) -> jax.Array:
+    """Inverse of _plane_split2 on device: (4, ...) u8 LE byte planes ->
+    float32."""
+    u = pl[0].astype(jnp.uint32)
+    for k in range(1, pl.shape[0]):
+        u = u | (pl[k].astype(jnp.uint32) << (8 * k))
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+@jax.jit
+def _combine_planes2(dc_pl: jax.Array, ac_pl: jax.Array):
+    """Standalone plane reassembly for the split-program f64 decode path
+    (the main decode programs fold _combine_planes into their own jit)."""
+    return _combine_planes(dc_pl), _combine_planes(ac_pl)
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def _decode_device_dpk(
     width: jax.Array,
@@ -171,9 +187,15 @@ def _decode_device_dpk(
     whole decode runs as ONE Pallas program (ops/dpk_fuse.decode_fused:
     unpack + butterfly expansions + dequantize + IDCT, bit-identical to the
     chain below); otherwise unpack on device (ops/idpack.py) then the shared
-    decode body."""
+    decode body. dc/ac_buf may arrive as (4, ...) uint8 BYTE PLANES (the
+    PLC sections uploaded without the host unshuffle) — reassembled here,
+    a cheap VPU prologue XLA fuses away."""
     from .ops import dpk_fuse, idpack
 
+    if dc.dtype == jnp.uint8:
+        dc = _combine_planes(dc)
+    if ac_buf.dtype == jnp.uint8:
+        ac_buf = _combine_planes(ac_buf)
     nblk = -(-n // cfg.block_size)
     if (
         dpk_fuse.enabled()
@@ -640,6 +662,24 @@ def _decode_float_section(header: ct.Header, chunks) -> bytes:
     return raw
 
 
+def _float_raw(header: ct.Header, chunks, planes_ok: bool):
+    """_decode_float_section, or ("planes", [plane bytes]) when planes_ok
+    and the section is a 4-byte-item PLC section — the device-plane decode
+    path skips the host join+unshuffle (api._combine_planes reassembles on
+    device)."""
+    if planes_ok and header.plc:
+        planes, itemsize = entropy.decode_float_planes(chunks)
+        if itemsize == 4:
+            return ("planes", planes)
+        shuffled = b"".join(planes)
+        return (
+            shuffled
+            if itemsize == 1
+            else entropy.unshuffle_bytes(shuffled, itemsize)
+        )
+    return _decode_float_section(header, chunks)
+
+
 # --- device-packed ids ("DPK", ids_codec="device") host glue ---------------
 
 _DPK_META_FMT = "<QHH2x"  # n_stream (padded elements), tile_b, AC chunk width
@@ -793,7 +833,9 @@ def _dpk_sections(
     return (width_sec, f_packed.result(), f_exc.result(), f_meta.result())
 
 
-def _dpk_host_rebuild(header: ct.Header, streams, tile_range=None):
+def _dpk_host_rebuild(
+    header: ct.Header, streams, tile_range=None, float_planes=False
+):
     """Re-inflate a DPK container's small side streams and re-pad the tight
     layouts into the fixed-capacity device inputs. Returns
     (width (T,bs), rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
@@ -856,8 +898,8 @@ def _dpk_host_rebuild(header: ct.Header, streams, tile_range=None):
     if tile_range is None:
         f_tight = pool.submit(_tight_task)
     f_exc = pool.submit(_exc_task)
-    f_dc = pool.submit(_decode_float_section, header, dz)
-    f_ac = pool.submit(_decode_float_section, header, az)
+    f_dc = pool.submit(_float_raw, header, dz, float_planes)
+    f_ac = pool.submit(_float_raw, header, az, float_planes)
 
     meta = _side(meta_z)
     n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
@@ -937,18 +979,27 @@ def _dpk_decode_prep(header: ct.Header, streams):
     (
         width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
         ac_counts, nblk,
-    ) = _dpk_host_rebuild(header, streams)
+    ) = _dpk_host_rebuild(header, streams, float_planes=True)
 
     cfg = _header_config(header)
     stored = np.dtype(np.float32)
+    dc_pl = isinstance(dc_raw, tuple)
+    ac_pl = isinstance(ac_raw, tuple)
     if (
-        len(dc_raw) == nblk * header.dtype.itemsize
+        not dc_pl
+        and len(dc_raw) == nblk * header.dtype.itemsize
         and header.dtype != stored
     ):
         stored = header.dtype
         cfg = dataclasses.replace(cfg, truncate=False)
-    dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
-    ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+    if dc_pl:
+        # (4, nblk) u8 byte planes — no host unshuffle; the device decode
+        # programs reassemble (api._combine_planes)
+        dc = np.stack(
+            [np.frombuffer(p, np.uint8, nblk) for p in dc_raw[1]]
+        )
+    else:
+        dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
 
     ac_layout = "chunked" if cp.use_chunked_compaction() else "global"
     if ac_layout == "chunked":
@@ -956,9 +1007,27 @@ def _dpk_decode_prep(header: ct.Header, streams):
         peak = int(ac_counts.max()) if ac_counts.size else 0
         tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
         capc = next(tt for tt in tiers if tt >= min(peak, cw))
-        ac = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
+        if ac_pl:
+            pls = [
+                np.frombuffer(p, np.uint8, header.ac_count)
+                for p in ac_raw[1]
+            ]
+            tight = np.concatenate(pls) if len(pls) > 1 else pls[0]
+            # one tiled pad call re-pads all planes (see _pack_dpk_v2)
+            ac = entropy.pad_row_prefixes(
+                tight, np.tile(ac_counts, len(pls)), capc, np.uint8
+            ).reshape(len(pls), ac_counts.size, capc)
+        else:
+            ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
+            ac = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
     elif header.ac_count == 0:
-        ac = np.zeros((1,), stored)
+        ac = np.zeros((4, 1), np.uint8) if ac_pl else np.zeros((1,), stored)
+    elif ac_pl:
+        ac = np.stack(
+            [np.frombuffer(p, np.uint8, header.ac_count) for p in ac_raw[1]]
+        )
+    else:
+        ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
     return (width, rows, exc_rows, dc, ac), (n_stream, tile_b, cw, cfg, ac_layout)
 
 
@@ -1010,8 +1079,11 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
                 bin_ids = _unpack_ids_device(
                     dev[0], dev[1], dev[2], nblk, cfg.block_size, tile_b, cw
                 )
+            dc_d, ac_d = dev[3], dev[4]
+            if dc_d.dtype == jnp.uint8:
+                dc_d, ac_d = _combine_planes2(dc_d, ac_d)
             x = _decode_device(
-                bin_ids, dev[3], dev[4], n_stream, _device_cfg(cfg), work,
+                bin_ids, dc_d, ac_d, n_stream, _device_cfg(cfg), work,
                 ac_layout, False, sf, qt,
             )
         else:

@@ -573,6 +573,17 @@ def encode_float_planes(
 
 def decode_float_stream(chunks: list[bytes]) -> bytes:
     """Inverse of encode_float_stream -> the original (unshuffled) bytes."""
+    planes, itemsize = decode_float_planes(chunks)
+    shuffled = b"".join(planes)
+    if itemsize == 1:
+        return shuffled
+    return unshuffle_bytes(shuffled, itemsize)
+
+
+def decode_float_planes(chunks: list[bytes]):
+    """Decode a PLC section to its byte planes WITHOUT the join+unshuffle:
+    (planes, itemsize). The device-plane decode path uploads these directly
+    and reassembles the floats on device (api._combine_planes)."""
     import struct
 
     directory = chunks[0]
@@ -614,10 +625,7 @@ def decode_float_stream(chunks: list[bytes]) -> bytes:
                 f"plane {i} decodes to {len(plane)} bytes, expected {items}"
             )
         planes.append(plane)
-    shuffled = b"".join(planes)
-    if itemsize == 1:
-        return shuffled
-    return unshuffle_bytes(shuffled, itemsize)
+    return planes, itemsize
 
 
 def chunked_deflate(

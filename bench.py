@@ -225,11 +225,13 @@ def amortized_device_decode_s(blob) -> float:
     dcfg = api._device_cfg(cfg_h)
 
     def call(eps, *dev):
+        # NB: dc/ac may be uint8 byte planes — do not float-perturb them
+        # (sfv + eps below already varies every iteration, defeating CSE)
         x = api._decode_device_dpk(
             dev[0],
             dev[1],
             dev[2],
-            dev[3] + eps,
+            dev[3],
             dev[4],
             n_stream,
             dcfg,

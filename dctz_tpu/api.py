@@ -662,6 +662,50 @@ def _decode_float_section(header: ct.Header, chunks) -> bytes:
     return raw
 
 
+def _float_section_range(header: ct.Header, chunks, i0: int, i1: int):
+    """Items [i0, i1) of a float section as BYTE PLANES, decoding only the
+    chunks each plane needs (raw planes slice the container buffer
+    zero-copy) — the multi-host slice decode's DC/AC path, removing the
+    last per-host O(n) host work besides the crc sweep. Non-PLC or
+    non-f32 sections fall back to a full decode ("bytes", ...)."""
+    if header.plc:
+        import struct
+
+        directory = chunks[0]
+        itemsize = directory[0]
+        methods = directory[1 : 1 + itemsize]
+        counts = struct.unpack_from(f"<{itemsize}H", directory, 5 + itemsize)
+        if itemsize == 4:
+            planes = []
+            off = 1
+            for i in range(itemsize):
+                sub = chunks[off : off + counts[i]]
+                off += counts[i]
+                m = methods[i]
+                if m == 0:
+                    planes.append(memoryview(entropy.join_chunks(sub))[i0:i1])
+                elif m == 3:
+                    planes.append(
+                        entropy.decode_chunk_range(
+                            sub, i0, i1, entropy.zstd_decompress
+                        )
+                    )
+                elif m == 1:
+                    planes.append(
+                        entropy.decode_chunk_range(sub, i0, i1, entropy.inflate)
+                    )
+                else:  # rANS: a single joined stream, no random access
+                    from . import native
+
+                    planes.append(
+                        memoryview(
+                            native.rans_decompress(b"".join(sub))
+                        )[i0:i1]
+                    )
+            return ("planes", planes)
+    return ("bytes", _decode_float_section(header, chunks))
+
+
 def _float_raw(header: ct.Header, chunks, planes_ok: bool):
     """_decode_float_section, or ("planes", [plane bytes]) when planes_ok
     and the section is a 4-byte-item PLC section — the device-plane decode
@@ -898,8 +942,13 @@ def _dpk_host_rebuild(
     if tile_range is None:
         f_tight = pool.submit(_tight_task)
     f_exc = pool.submit(_exc_task)
-    f_dc = pool.submit(_float_raw, header, dz, float_planes)
-    f_ac = pool.submit(_float_raw, header, az, float_planes)
+    if float_planes == "skip":
+        # the caller range-decodes DC/AC itself (_float_section_range) —
+        # hand back the raw section chunk lists untouched
+        f_dc = f_ac = None
+    else:
+        f_dc = pool.submit(_float_raw, header, dz, bool(float_planes))
+        f_ac = pool.submit(_float_raw, header, az, bool(float_planes))
 
     meta = _side(meta_z)
     n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
@@ -959,8 +1008,8 @@ def _dpk_host_rebuild(
     )
 
     rows = f_rows.result()
-    dc_raw = f_dc.result()
-    ac_raw = f_ac.result()
+    dc_raw = dz if f_dc is None else f_dc.result()
+    ac_raw = az if f_ac is None else f_ac.result()
     return (
         width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
         ac_counts, nblk,
@@ -1220,30 +1269,55 @@ def _decompress_dpk_range(
     Returns the decoded elements of [t0*tile_b*bs, min(t1*tile_b*bs,
     num_elements)) in the container dtype."""
     (
-        width, rows, exc_rows, dc_raw, ac_raw, n_stream, tile_b, cw,
-        ac_counts, nblk,
-    ) = _dpk_host_rebuild(header, streams, tile_range=(t0, t1))
+        width, rows, exc_rows, dc_chunks, ac_chunks_raw, n_stream, tile_b,
+        cw, ac_counts, nblk,
+    ) = _dpk_host_rebuild(
+        header, streams, tile_range=(t0, t1), float_planes="skip"
+    )
     cfg = _header_config(header)
     bs = header.block_size
     n_chunks = (nblk * bs) // cw
     epc = (tile_b * bs) // cw
 
-    stored = np.dtype(np.float32)
-    if len(dc_raw) == nblk * header.dtype.itemsize and header.dtype != stored:
-        stored = header.dtype
-        cfg = dataclasses.replace(cfg, truncate=False)
-    dc_full = np.frombuffer(dc_raw, dtype=stored, count=nblk)
-    ac_full = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
-
+    # DC/AC decode only this slice's items (plane chunk ranges; legacy
+    # non-PLC sections fall back to full-decode-and-slice)
+    b0, b1 = t0 * tile_b, min(t1 * tile_b, nblk)
     c0, c1 = t0 * epc, min(t1 * epc, n_chunks)
     acum = np.concatenate(([0], np.cumsum(ac_counts, dtype=np.int64)))
-    ac_loc = ac_full[int(acum[c0]) : int(acum[c1])]
+    a0, a1 = int(acum[c0]), int(acum[c1])
+    dc_kind, dc_dat = _float_section_range(header, dc_chunks, b0, b1)
+    ac_kind, ac_dat = _float_section_range(header, ac_chunks_raw, a0, a1)
+
+    stored = np.dtype(np.float32)
+    if (
+        dc_kind == "bytes"
+        and len(dc_dat) == nblk * header.dtype.itemsize
+        and header.dtype != stored
+    ):
+        stored = header.dtype
+        cfg = dataclasses.replace(cfg, truncate=False)
+
     counts_loc = ac_counts[c0:c1]
     peak = int(counts_loc.max()) if counts_loc.size else 0
     tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
     capc = next(tt for tt in tiers if tt >= min(peak, cw))
-    ac_rows = entropy.pad_row_prefixes(ac_loc, counts_loc, capc, stored)
-    dc_loc = dc_full[t0 * tile_b : min(t1 * tile_b, nblk)]
+    if ac_kind == "planes":
+        pls = [np.frombuffer(p, np.uint8, a1 - a0) for p in ac_dat]
+        tight = np.concatenate(pls) if len(pls) > 1 else pls[0]
+        ac_rows = entropy.pad_row_prefixes(
+            tight, np.tile(counts_loc, len(pls)), capc, np.uint8
+        ).reshape(len(pls), counts_loc.size, capc)
+    else:
+        ac_loc = np.frombuffer(ac_dat, dtype=stored, count=header.ac_count)[
+            a0:a1
+        ]
+        ac_rows = entropy.pad_row_prefixes(ac_loc, counts_loc, capc, stored)
+    if dc_kind == "planes":
+        dc_loc = np.stack(
+            [np.frombuffer(p, np.uint8, b1 - b0) for p in dc_dat]
+        )
+    else:
+        dc_loc = np.frombuffer(dc_dat, dtype=stored, count=nblk)[b0:b1]
 
     n_lo = t0 * tile_b * bs
     n_loc = min(t1 * tile_b * bs, n_stream) - n_lo
@@ -1278,8 +1352,11 @@ def _decompress_dpk_range(
                 bin_ids = _unpack_ids_device(
                     dev[0], dev[1], dev[2], nblk_loc, bs, tile_b, cw
                 )
+            dc_d, ac_d = dev[3], dev[4]
+            if dc_d.dtype == jnp.uint8:
+                dc_d, ac_d = _combine_planes2(dc_d, ac_d)
             x = _decode_device(
-                bin_ids, dev[3], dev[4], n_loc, _device_cfg(cfg), work,
+                bin_ids, dc_d, ac_d, n_loc, _device_cfg(cfg), work,
                 "chunked", False, sf, qt,
             )
         else:

@@ -366,23 +366,32 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
                 if cfg.mode == "qt"
                 else fe.fused_encode_pipeline_dpk
             )
-            uout = unified(arr, sf, cfg.error_bound, idpack.CAPE)
+            uout = unified(
+                arr, sf, cfg.error_bound, idpack.CAPE, False,
+                cfg.dct_precision,
+            )
             if bool(jax.device_get(uout[7])):
                 # exception-capacity overflow (AC escapes are a subset of
                 # exceptions, so this flag covers both): retry at full
                 # chunk width — always lossless
                 uout = unified(
-                    arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
+                    arr, sf, cfg.error_bound,
+                    chunk_width(n_pad, cfg.block_size), False,
+                    cfg.dct_precision,
                 )
             pk = uout[:4]
             ac_chunks, counts, dc = uout[4], uout[5], uout[6]
             qtable_dev = uout[8] if cfg.mode == "qt" else None
             bound_ok = None
         else:
-            out = pipeline(arr, sf, cfg.error_bound, None)
+            out = pipeline(
+                arr, sf, cfg.error_bound, None, False, cfg.dct_precision
+            )
             if bool(jax.device_get(out[4])):
                 out = pipeline(
-                    arr, sf, cfg.error_bound, chunk_width(n_pad, cfg.block_size)
+                    arr, sf, cfg.error_bound,
+                    chunk_width(n_pad, cfg.block_size), False,
+                    cfg.dct_precision,
                 )
             ids, dc, ac_chunks, counts = out[:4]
             qtable_dev = out[5] if cfg.mode == "qt" else None
@@ -664,45 +673,15 @@ def _decode_float_section(header: ct.Header, chunks) -> bytes:
 
 def _float_section_range(header: ct.Header, chunks, i0: int, i1: int):
     """Items [i0, i1) of a float section as BYTE PLANES, decoding only the
-    chunks each plane needs (raw planes slice the container buffer
-    zero-copy) — the multi-host slice decode's DC/AC path, removing the
-    last per-host O(n) host work besides the crc sweep. Non-PLC or
-    non-f32 sections fall back to a full decode ("bytes", ...)."""
-    if header.plc:
-        import struct
-
-        directory = chunks[0]
-        itemsize = directory[0]
-        methods = directory[1 : 1 + itemsize]
-        counts = struct.unpack_from(f"<{itemsize}H", directory, 5 + itemsize)
-        if itemsize == 4:
-            planes = []
-            off = 1
-            for i in range(itemsize):
-                sub = chunks[off : off + counts[i]]
-                off += counts[i]
-                m = methods[i]
-                if m == 0:
-                    planes.append(memoryview(entropy.join_chunks(sub))[i0:i1])
-                elif m == 3:
-                    planes.append(
-                        entropy.decode_chunk_range(
-                            sub, i0, i1, entropy.zstd_decompress
-                        )
-                    )
-                elif m == 1:
-                    planes.append(
-                        entropy.decode_chunk_range(sub, i0, i1, entropy.inflate)
-                    )
-                else:  # rANS: a single joined stream, no random access
-                    from . import native
-
-                    planes.append(
-                        memoryview(
-                            native.rans_decompress(b"".join(sub))
-                        )[i0:i1]
-                    )
-            return ("planes", planes)
+    chunks each plane needs (entropy.decode_float_planes item_range) — the
+    multi-host slice decode's DC/AC path, removing the last per-host O(n)
+    host work besides the crc sweep. Non-PLC or non-f32 sections fall back
+    to a full decode ("bytes", ...)."""
+    if header.plc and chunks[0][0] == 4:  # directory byte 0 = itemsize
+        planes, _isz = entropy.decode_float_planes(
+            chunks, item_range=(i0, i1)
+        )
+        return ("planes", planes)
     return ("bytes", _decode_float_section(header, chunks))
 
 
@@ -878,7 +857,8 @@ def _dpk_sections(
 
 
 def _dpk_host_rebuild(
-    header: ct.Header, streams, tile_range=None, float_planes=False
+    header: ct.Header, streams, tile_range=None, float_planes=False,
+    meta=None,
 ):
     """Re-inflate a DPK container's small side streams and re-pad the tight
     layouts into the fixed-capacity device inputs. Returns
@@ -950,7 +930,8 @@ def _dpk_host_rebuild(
         f_dc = pool.submit(_float_raw, header, dz, bool(float_planes))
         f_ac = pool.submit(_float_raw, header, az, bool(float_planes))
 
-    meta = _side(meta_z)
+    if meta is None:
+        meta = _side(meta_z)
     n_stream, tile_b, cw = struct.unpack_from(_DPK_META_FMT, meta, 0)
     bs = header.block_size
     nblk = -(-n_stream // bs)  # n_stream = true length on the XLA path
@@ -1016,6 +997,24 @@ def _dpk_host_rebuild(
     )
 
 
+def _capc_tier(peak: int, cw: int) -> int:
+    """Smallest AC row-capacity tier covering the per-chunk peak (shared
+    by the monolithic, sharded, and slice-range decode preps — they must
+    agree or row shapes desynchronize)."""
+    tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
+    return next(tt for tt in tiers if tt >= min(peak, cw))
+
+
+def _stored_dtype(header: ct.Header, dc_nbytes: int, nblk: int, cfg):
+    """(stored dtype, cfg) from the DC section length: an f64 container
+    whose DC section holds 8-byte items was written with truncate=False
+    (full-width floats end-to-end)."""
+    stored = np.dtype(np.float32)
+    if dc_nbytes == nblk * header.dtype.itemsize and header.dtype != stored:
+        return header.dtype, dataclasses.replace(cfg, truncate=False)
+    return stored, cfg
+
+
 def _dpk_decode_prep(header: ct.Header, streams):
     """Host stage of DPK decompress: re-inflate the small side streams and
     re-pad the tight layouts into fixed-capacity device arrays.
@@ -1034,13 +1033,8 @@ def _dpk_decode_prep(header: ct.Header, streams):
     stored = np.dtype(np.float32)
     dc_pl = isinstance(dc_raw, tuple)
     ac_pl = isinstance(ac_raw, tuple)
-    if (
-        not dc_pl
-        and len(dc_raw) == nblk * header.dtype.itemsize
-        and header.dtype != stored
-    ):
-        stored = header.dtype
-        cfg = dataclasses.replace(cfg, truncate=False)
+    if not dc_pl:
+        stored, cfg = _stored_dtype(header, len(dc_raw), nblk, cfg)
     if dc_pl:
         # (4, nblk) u8 byte planes — no host unshuffle; the device decode
         # programs reassemble (api._combine_planes)
@@ -1054,8 +1048,7 @@ def _dpk_decode_prep(header: ct.Header, streams):
     if ac_layout == "chunked":
         # stored per-chunk counts: no id-stream rescan on the host
         peak = int(ac_counts.max()) if ac_counts.size else 0
-        tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
-        capc = next(tt for tt in tiers if tt >= min(peak, cw))
+        capc = _capc_tier(peak, cw)
         if ac_pl:
             pls = [
                 np.frombuffer(p, np.uint8, header.ac_count)
@@ -1178,18 +1171,14 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
 
         return _decompress_dpk(header, streams, qtable, StageTimer())
 
-    stored = np.dtype(np.float32)
-    if len(dc_raw) == nblk * header.dtype.itemsize and header.dtype != stored:
-        stored = header.dtype
-        cfg = dataclasses.replace(cfg, truncate=False)
+    stored, cfg = _stored_dtype(header, len(dc_raw), nblk, cfg)
     dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
     ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
 
     # chunked AC rows straight from the stored per-chunk counts (no id
     # rescan); chunked layout regardless of backend — counts are free here
     peak = int(ac_counts.max()) if ac_counts.size else 0
-    tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
-    capc = next(tt for tt in tiers if tt >= min(peak, cw))
+    capc = _capc_tier(peak, cw)
     ac_rows = entropy.pad_row_prefixes(ac, ac_counts, capc, stored)
 
     # pad every array to tpd whole tiles (leading axes shard evenly)
@@ -1246,17 +1235,20 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
     return np.asarray(jax.device_get(x), dtype=out_dtype)[:n]
 
 
-def _dpk_meta(header: ct.Header, streams) -> tuple[int, int, int]:
+def _dpk_meta(header: ct.Header, streams, *, with_bytes: bool = False):
     """(n_stream, tile_b, cw) from a DPK container's meta section alone —
     the multi-host decoder needs the tile geometry to pick its slice BEFORE
-    committing to any bulk-section work."""
+    committing to any bulk-section work. with_bytes=True appends the
+    decoded meta buffer so the caller can hand it to _dpk_host_rebuild
+    (which otherwise re-inflates the same section)."""
     _side = entropy.chunked_unzstd if header.zst else entropy.chunked_inflate
     meta = _side(streams[3])
-    return struct.unpack_from(_DPK_META_FMT, meta, 0)
+    triple = struct.unpack_from(_DPK_META_FMT, meta, 0)
+    return triple + (meta,) if with_bytes else triple
 
 
 def _decompress_dpk_range(
-    header: ct.Header, streams, qtable, t0: int, t1: int
+    header: ct.Header, streams, qtable, t0: int, t1: int, meta=None
 ) -> np.ndarray:
     """Decode ONLY tiles [t0, t1) of a monolithic DPK container — the
     multi-host parallel decode of one big container (each host takes a
@@ -1272,7 +1264,8 @@ def _decompress_dpk_range(
         width, rows, exc_rows, dc_chunks, ac_chunks_raw, n_stream, tile_b,
         cw, ac_counts, nblk,
     ) = _dpk_host_rebuild(
-        header, streams, tile_range=(t0, t1), float_planes="skip"
+        header, streams, tile_range=(t0, t1), float_planes="skip",
+        meta=meta,
     )
     cfg = _header_config(header)
     bs = header.block_size
@@ -1289,18 +1282,12 @@ def _decompress_dpk_range(
     ac_kind, ac_dat = _float_section_range(header, ac_chunks_raw, a0, a1)
 
     stored = np.dtype(np.float32)
-    if (
-        dc_kind == "bytes"
-        and len(dc_dat) == nblk * header.dtype.itemsize
-        and header.dtype != stored
-    ):
-        stored = header.dtype
-        cfg = dataclasses.replace(cfg, truncate=False)
+    if dc_kind == "bytes":
+        stored, cfg = _stored_dtype(header, len(dc_dat), nblk, cfg)
 
     counts_loc = ac_counts[c0:c1]
     peak = int(counts_loc.max()) if counts_loc.size else 0
-    tiers = [tt for tt in (32, 64, 128) if tt < cw] + [cw]
-    capc = next(tt for tt in tiers if tt >= min(peak, cw))
+    capc = _capc_tier(peak, cw)
     if ac_kind == "planes":
         pls = [np.frombuffer(p, np.uint8, a1 - a0) for p in ac_dat]
         tight = np.concatenate(pls) if len(pls) > 1 else pls[0]
@@ -1935,13 +1922,7 @@ def decompress(blob: bytes | memoryview, *, timer=None) -> np.ndarray:
 
         # The reference always ships truncated (float32) DC/AC streams;
         # detect non-truncated files by the DC stream size.
-        stored = np.dtype(np.float32)
-        if (
-            len(dc_raw) == nblk * header.dtype.itemsize
-            and header.dtype != stored
-        ):
-            stored = header.dtype
-            cfg = dataclasses.replace(cfg, truncate=False)
+        stored, cfg = _stored_dtype(header, len(dc_raw), nblk, cfg)
 
         flat_ids = np.frombuffer(bindex, dtype=np.uint8, count=n_stream)
         pad = nblk * bs - n_stream

@@ -580,10 +580,15 @@ def decode_float_stream(chunks: list[bytes]) -> bytes:
     return unshuffle_bytes(shuffled, itemsize)
 
 
-def decode_float_planes(chunks: list[bytes]):
+def decode_float_planes(chunks: list[bytes], item_range=None):
     """Decode a PLC section to its byte planes WITHOUT the join+unshuffle:
     (planes, itemsize). The device-plane decode path uploads these directly
-    and reassembles the floats on device (api._combine_planes)."""
+    and reassembles the floats on device (api._combine_planes).
+
+    item_range=(i0, i1): return only items [i0, i1) of each plane,
+    touching only the covering chunks (raw planes slice the container
+    buffer zero-copy; the joined rANS stream has no random access) — the
+    multi-host slice decode's DC/AC path."""
     import struct
 
     directory = chunks[0]
@@ -599,6 +604,30 @@ def decode_float_planes(chunks: list[bytes]):
     for i in range(itemsize):
         subs.append(chunks[off : off + counts[i]])
         off += counts[i]
+    if item_range is not None:
+        i0, i1 = item_range
+        planes = []
+        for i, sub in enumerate(subs):
+            m = methods[i]
+            if m == 0:
+                plane = memoryview(join_chunks(sub))[i0:i1]
+            elif m == 3:
+                plane = decode_chunk_range(sub, i0, i1, zstd_decompress)
+            elif m == 1:
+                plane = decode_chunk_range(sub, i0, i1, inflate)
+            else:
+                from .. import native
+
+                plane = memoryview(native.rans_decompress(b"".join(sub)))[
+                    i0:i1
+                ]
+            if len(plane) != i1 - i0:
+                raise ValueError(
+                    f"plane {i} range decodes to {len(plane)} bytes, "
+                    f"expected {i1 - i0}"
+                )
+            planes.append(plane)
+        return planes, itemsize
     chunk_futs: list = [None] * itemsize
     single_futs: list = [None] * itemsize
     for i, sub in enumerate(subs):

@@ -70,69 +70,97 @@ BS = 64  # block size (two blocks per row)
 _INTERPRET = False
 
 
-def _kernel(sf_ref, geom_ref, x_ref, bd_ref, ids_ref, dcac_ref):
-    r = x_ref.shape[0]
-    rmin = geom_ref[0]
-    rmax = geom_ref[1]
-    w = geom_ref[2]
-    nbins = C.NBINS
+def _fwd_dot(xs, bd, relaxed: bool):
+    """The analysis-DCT matmul. Default HIGHEST: full-f32 MXU passes —
+    single-pass bf16 rounding here would inject ~1e-2 relative coefficient
+    error and break the bound. relaxed (cfg.dct_precision="high") runs the
+    explicit 3-pass bf16x3 decomposition instead (~2^-21 relative; see
+    docs/numerics.md)."""
+    if relaxed:
+        from .dpk_fuse import _dot_bf16x3
 
-    # divide (not multiply-by-reciprocal): the reference divides in place
-    # (dctz-comp-lib.c:198) and reciprocal rounding would flip edge bins
-    xs = x_ref[:] / sf_ref[0]
-    # HIGHEST: full-f32 MXU passes — bf16 rounding here would inject ~1e-2
-    # relative coefficient error and break the bound
-    coef = jnp.dot(
+        return _dot_bf16x3(xs, bd)
+    return jnp.dot(
         xs,
-        bd_ref[:],
+        bd,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
-    is_dc = (col % BS) == 0
-    in_range = (coef >= rmin) & (coef <= rmax)
-    lin = jnp.clip(((coef - rmin) / w).astype(jnp.int32), 0, nbins - 1)
-    half = nbins // 2
-    zz = jnp.where(lin <= half, 2 * (half - lin), 2 * (lin - half) - 1)
-    ids_ref[:] = jnp.where(
-        in_range & ~is_dc, zz, jnp.full_like(zz, C.ESCAPE)
-    ).astype(jnp.uint8)
 
-    keep = is_dc | ~in_range
-    dcac_ref[:] = jnp.where(keep, coef, jnp.zeros_like(coef))
+@functools.lru_cache(maxsize=None)
+def _make_kernel(relaxed: bool):
+    def _kernel(sf_ref, geom_ref, x_ref, bd_ref, ids_ref, dcac_ref):
+        r = x_ref.shape[0]
+        rmin = geom_ref[0]
+        rmax = geom_ref[1]
+        w = geom_ref[2]
+        nbins = C.NBINS
 
+        # divide (not multiply-by-reciprocal): the reference divides in
+        # place (dctz-comp-lib.c:198); reciprocal rounding flips edge bins
+        xs = x_ref[:] / sf_ref[0]
+        coef = _fwd_dot(xs, bd_ref[:], relaxed)
 
-def _kernel_qmax(sf_ref, geom_ref, x_ref, bd_ref, qmax_ref):
-    """QT pass 1: per-lane max |escaped coefficient|, accumulated across
-    grid steps into one fixed (8, 128) output block."""
-    r = x_ref.shape[0]
-    rmin = geom_ref[0]
-    rmax = geom_ref[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+        is_dc = (col % BS) == 0
+        in_range = (coef >= rmin) & (coef <= rmax)
+        lin = jnp.clip(((coef - rmin) / w).astype(jnp.int32), 0, nbins - 1)
+        half = nbins // 2
+        zz = jnp.where(lin <= half, 2 * (half - lin), 2 * (lin - half) - 1)
+        ids_ref[:] = jnp.where(
+            in_range & ~is_dc, zz, jnp.full_like(zz, C.ESCAPE)
+        ).astype(jnp.uint8)
 
-    xs = x_ref[:] / sf_ref[0]
-    coef = jnp.dot(
-        xs,
-        bd_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
-    is_dc = (col % BS) == 0
-    escape = ~((coef >= rmin) & (coef <= rmax)) & ~is_dc
-    mag = jnp.where(escape, jnp.abs(coef), jnp.zeros_like(coef))
-    tile_max = jnp.max(mag.reshape(r // 8, 8, LANES), axis=0)
+        keep = is_dc | ~in_range
+        dcac_ref[:] = jnp.where(keep, coef, jnp.zeros_like(coef))
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        qmax_ref[:] = jnp.zeros_like(qmax_ref)
-
-    qmax_ref[:] = jnp.maximum(qmax_ref[:], tile_max)
+    return _kernel
 
 
-def _kernel_qt(sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref):
-    """QT pass 2: renormalize escapes through the (replicated) qtable,
-    re-bin values that land in range, emit ids + dcac like the EC kernel."""
+@functools.lru_cache(maxsize=None)
+def _make_kernel_qmax(relaxed: bool):
+    def _kernel_qmax(sf_ref, geom_ref, x_ref, bd_ref, qmax_ref):
+        """QT pass 1: per-lane max |escaped coefficient|, accumulated
+        across grid steps into one fixed (8, 128) output block."""
+        r = x_ref.shape[0]
+        rmin = geom_ref[0]
+        rmax = geom_ref[1]
+
+        xs = x_ref[:] / sf_ref[0]
+        coef = _fwd_dot(xs, bd_ref[:], relaxed)
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+        is_dc = (col % BS) == 0
+        escape = ~((coef >= rmin) & (coef <= rmax)) & ~is_dc
+        mag = jnp.where(escape, jnp.abs(coef), jnp.zeros_like(coef))
+        tile_max = jnp.max(mag.reshape(r // 8, 8, LANES), axis=0)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            qmax_ref[:] = jnp.zeros_like(qmax_ref)
+
+        qmax_ref[:] = jnp.maximum(qmax_ref[:], tile_max)
+
+    return _kernel_qmax
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel_qt(relaxed: bool):
+    def _kernel_qt(sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref):
+        """QT pass 2: renormalize escapes through the (replicated) qtable,
+        re-bin values that land in range, emit ids + dcac like the EC
+        kernel."""
+        return _kernel_qt_body(
+            sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref,
+            relaxed,
+        )
+
+    return _kernel_qt
+
+
+def _kernel_qt_body(
+    sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref, relaxed
+):
     r = x_ref.shape[0]
     rmin = geom_ref[0]
     rmax = geom_ref[1]
@@ -142,12 +170,7 @@ def _kernel_qt(sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref):
     nbins = C.NBINS
 
     xs = x_ref[:] / sf_ref[0]
-    coef = jnp.dot(
-        xs,
-        bd_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    coef = _fwd_dot(xs, bd_ref[:], relaxed)
     col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
     is_dc = (col % BS) == 0
     in_range = (coef >= rmin) & (coef <= rmax)
@@ -174,11 +197,11 @@ def _kernel_qt(sf_ref, geom_ref, x_ref, bd_ref, qt_ref, ids_ref, dcac_ref):
     )
 
 
-def _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret):
+def _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret, relaxed=False):
     """QT pass 1 (see module docstring): per-position qtable, clamped >= 1.0
     (slot 0 is patched by the caller with the last block's DC)."""
     qmax = pl.pallas_call(
-        _kernel_qmax,
+        _make_kernel_qmax(relaxed),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -202,13 +225,14 @@ def _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret):
     return jnp.maximum(col64, jnp.float32(1.0))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_qt(
     x: jax.Array,
     sf: jax.Array,
     error_bound: float,
     brsf: float = 1.0,
     interpret: bool = False,
+    dct_precision: str = "highest",
 ):
     """Two-kernel QT encode; same contract as fused_encode_ec plus the
     (64,) qtable with slot 0 = the last block's DC (the reference quirk,
@@ -228,10 +252,11 @@ def fused_encode_qt(
     x2 = x.reshape(rows, LANES)
     sf1 = sf.reshape(1).astype(jnp.float32)
 
-    qtable = _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret)
+    relaxed = dct_precision == "high"
+    qtable = _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret, relaxed)
 
     ids, dcac = pl.pallas_call(
-        _kernel_qt,
+        _make_kernel_qt(relaxed),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -271,13 +296,14 @@ def fused_encode_qt(
     return ids.reshape(nblk, BS), dcac.reshape(nblk, BS), qtable
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_ec(
     x: jax.Array,
     sf: jax.Array,
     error_bound: float,
     brsf: float = 1.0,
     interpret: bool = False,
+    dct_precision: str = "highest",
 ):
     """Run the fused kernel over a flat f32 array; requires n % 128 == 0
     (the caller zero-pads — v2 containers carry padded streams natively).
@@ -299,7 +325,7 @@ def fused_encode_ec(
     bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
 
     ids, dcac = pl.pallas_call(
-        _kernel,
+        _make_kernel(dct_precision == "high"),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sf (1,)
@@ -330,13 +356,14 @@ def fused_encode_ec(
     return ids.reshape(nblk, BS), dcac.reshape(nblk, BS)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_pipeline(
     x: jax.Array,
     sf: jax.Array,
     error_bound: float,
     capc: int | None = None,
     interpret: bool = False,
+    dct_precision: str = "highest",
 ):
     """Fused kernel + chunk-local AC compaction: the full EC device encode.
 
@@ -345,7 +372,9 @@ def fused_encode_pipeline(
     from ..core.quantize import chunk_width
     from . import compaction as cp
 
-    ids, dcac = fused_encode_ec(x, sf, error_bound, 1.0, interpret)
+    ids, dcac = fused_encode_ec(
+        x, sf, error_bound, 1.0, interpret, dct_precision
+    )
     n = x.shape[0]
     dc = dcac[:, 0]
     col = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 1)
@@ -360,13 +389,14 @@ def fused_encode_pipeline(
     return ids, dc, ac_chunks, counts, overflow
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_pipeline_dpk(
     x: jax.Array,
     sf: jax.Array,
     error_bound: float,
     cape: int,
     interpret: bool = False,
+    dct_precision: str = "highest",
 ):
     """Fused kernel + single-sort DPK coding: the whole EC device encode in
     one program. The AC and exception compactions share one chunk sort
@@ -378,7 +408,9 @@ def fused_encode_pipeline_dpk(
     overflow)."""
     from . import idpack
 
-    ids, dcac = fused_encode_ec(x, sf, error_bound, 1.0, interpret)
+    ids, dcac = fused_encode_ec(
+        x, sf, error_bound, 1.0, interpret, dct_precision
+    )
     return idpack.pack_ids_with_ac(
         ids, dcac, x.shape[0], idpack.B_DEFAULT, cape
     )
@@ -456,7 +488,8 @@ def fused_encode_pipeline_dpk_qt_v2(
     bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
     sf1 = sf.reshape(1).astype(jnp.float32)
     qtable = _qtable_pass(
-        x.reshape(rows, LANES), sf1, geom, bd, tile_r, grid, False
+        x.reshape(rows, LANES), sf1, geom, bd, tile_r, grid, False,
+        dct_precision == "high",
     )
 
     cw = chunk_width(n_pad, BS)
@@ -472,19 +505,22 @@ def fused_encode_pipeline_dpk_qt_v2(
     return out + (qtable,)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_pipeline_dpk_qt(
     x: jax.Array,
     sf: jax.Array,
     error_bound: float,
     cape: int,
     interpret: bool = False,
+    dct_precision: str = "highest",
 ):
     """QT twin of fused_encode_pipeline_dpk; appends the (64,) qtable
     (slot 0 already patched with the last block's DC)."""
     from . import idpack
 
-    ids, dcac, qtable = fused_encode_qt(x, sf, error_bound, 1.0, interpret)
+    ids, dcac, qtable = fused_encode_qt(
+        x, sf, error_bound, 1.0, interpret, dct_precision
+    )
     out = idpack.pack_ids_with_ac(
         ids, dcac, x.shape[0], idpack.B_DEFAULT, cape
     )
@@ -492,20 +528,23 @@ def fused_encode_pipeline_dpk_qt(
     return out + (qtable,)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_pipeline_qt(
     x: jax.Array,
     sf: jax.Array,
     error_bound: float,
     capc: int | None = None,
     interpret: bool = False,
+    dct_precision: str = "highest",
 ):
     """QT twin of fused_encode_pipeline; adds the (64,) qtable output
     (slot 0 already patched with the last block's DC)."""
     from ..core.quantize import chunk_width
     from . import compaction as cp
 
-    ids, dcac, qtable = fused_encode_qt(x, sf, error_bound, 1.0, interpret)
+    ids, dcac, qtable = fused_encode_qt(
+        x, sf, error_bound, 1.0, interpret, dct_precision
+    )
     n = x.shape[0]
     dc = dcac[:, 0]
     qtable = qtable.at[0].set(dc[-1])

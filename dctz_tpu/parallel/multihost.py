@@ -445,7 +445,7 @@ def _decompress_monolithic_local(data: memoryview) -> LocalRestore:
     from ..ops import idpack
 
     if jax.process_count() == 1:
-        out = decompress(bytes(data))
+        out = decompress(data)  # decompress takes memoryviews — no copy
         return LocalRestore(out, 0, ())
 
     header = None
@@ -458,7 +458,9 @@ def _decompress_monolithic_local(data: memoryview) -> LocalRestore:
         and _tpu_like_backend()
     )
     if header is not None and header.dpk and not f64_split:
-        n_stream, tile_b, cw = _dpk_meta(header, streams)
+        n_stream, tile_b, cw, meta = _dpk_meta(
+            header, streams, with_bytes=True
+        )
         bs = header.block_size
         n = header.num_elements
         nblk = -(-n_stream // bs)
@@ -469,13 +471,15 @@ def _decompress_monolithic_local(data: memoryview) -> LocalRestore:
         t1 = min(-(-hi // te), t_total)
         if t0 >= t1 or lo >= n:  # all-padding host
             return LocalRestore(np.zeros((0,), header.dtype), lo, ())
-        local = _decompress_dpk_range(header, streams, qtable, t0, t1)
+        local = _decompress_dpk_range(
+            header, streams, qtable, t0, t1, meta=meta
+        )
         a = lo - t0 * te
         b = min(hi, n) - t0 * te
         return LocalRestore(local[a:b], lo, ())
 
     # generic v2 / v1 / f64-split fallback: full decode, slice
-    out = decompress(bytes(data))
+    out = decompress(data)
     bs = header.block_size if header is not None else 64
     lo, hi = host_slice(out.size, bs, 1)
     if lo >= out.size:

@@ -210,7 +210,7 @@ def compress_stream(
             pending = None
             for si, seg in enumerate(_segments(x, segment_elems)):
                 outs = _encode_segment_dpk(
-                    seg, sf, tol, _device_cfg(cfg)
+                    seg, sf, tol, _device_cfg(cfg), cfg
                 )
                 if pending is not None:
                     written += write_frame(pending.result())
@@ -278,11 +278,15 @@ def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape):
     )
 
 
-def _encode_segment_dpk(seg: np.ndarray, sf: float, tol: float, cfg):
+def _encode_segment_dpk(
+    seg: np.ndarray, sf: float, tol: float, cfg, host_cfg: CodecConfig
+):
     """Device stage of one DPK segment (padded to the 1024 tile quantum);
     retries once at full chunk width on capacity overflow. The f32 DC/AC
     streams leave the device as byte planes (api._plane_split2) so the
-    host packer skips its shuffle pass."""
+    host packer skips its shuffle pass — decided on host_cfg (the
+    UN-normalized config: _device_cfg zeroes the host-side shuffle/plc
+    fields, which would silently disable the split)."""
     from .api import _plane_mode, _plane_split2
     from .ops import idpack
 
@@ -299,7 +303,9 @@ def _encode_segment_dpk(seg: np.ndarray, sf: float, tol: float, cfg):
             xs, sfv, tolv, n, cfg, qz.chunk_width(n + pad, cfg.block_size)
         )
     planes = (
-        _plane_split2(outs[6], outs[4]) if _plane_mode(cfg, outs[6]) else None
+        _plane_split2(outs[6], outs[4])
+        if _plane_mode(host_cfg, outs[6])
+        else None
     )
     return outs, planes, n + pad
 

@@ -122,6 +122,33 @@ def test_stream_dpk_fused_segments_roundtrip():
         jax.config.update("jax_enable_x64", old_x64)
 
 
+def test_segment_dpk_plane_split_engages():
+    """The device byte-plane split must activate on the pipelined DPK
+    segments for the DEFAULT config (regression: deciding on the
+    _device_cfg-normalized config silently disabled it — shuffle=False)."""
+    import jax
+
+    from dctz_tpu.api import _device_cfg
+    from dctz_tpu.ops import dpk_fuse
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    dpk_fuse._FORCE, dpk_fuse._INTERPRET = True, True
+    try:
+        cfg = CodecConfig(
+            mode="ec", error_bound=1e-3, container="v2", ids_codec="device",
+        )
+        seg = np.sin(np.arange(1 << 12, dtype=np.float32)) * 5
+        outs, planes, n_pad = stream._encode_segment_dpk(
+            seg, 8.0, 1e-2, _device_cfg(cfg), cfg
+        )
+        assert planes is not None
+        assert planes[0].shape[0] == 4 and planes[0].dtype == np.uint8
+    finally:
+        dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
+        jax.config.update("jax_enable_x64", old_x64)
+
+
 def test_compress_segment_elems_routes_to_stream():
     """cfg.segment_elems pipelines the monolithic compress() into a DTZS
     stream; decompress() auto-detects and round-trips."""

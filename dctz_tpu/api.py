@@ -674,9 +674,8 @@ def _decode_float_section(header: ct.Header, chunks) -> bytes:
 def _float_section_range(header: ct.Header, chunks, i0: int, i1: int):
     """Items [i0, i1) of a float section as BYTE PLANES, decoding only the
     chunks each plane needs (entropy.decode_float_planes item_range) — the
-    multi-host slice decode's DC/AC path, removing the last per-host O(n)
-    host work besides the crc sweep. Non-PLC or non-f32 sections fall back
-    to a full decode ("bytes", ...)."""
+    multi-host slice decode's DC/AC path. Non-PLC or non-f32 sections fall
+    back to a full decode ("bytes", ...)."""
     if header.plc and chunks[0][0] == 4:  # directory byte 0 = itemsize
         planes, _isz = entropy.decode_float_planes(
             chunks, item_range=(i0, i1)
@@ -887,7 +886,9 @@ def _dpk_host_rebuild(
         if header.dpkz:
             return entropy.chunked_inflate(packed_raw)
         if header.dpkr:
+            entropy.verify_chunk_range(packed_raw)
             return native.rans_decompress(entropy.join_chunks(packed_raw))
+        entropy.verify_chunk_range(packed_raw)
         return entropy.join_chunks(packed_raw)  # zero-copy for verbatim views
 
     def _tight_range(b0: int, b1: int):
@@ -906,22 +907,49 @@ def _dpk_host_rebuild(
                 packed_raw, b0, b1, lambda c: zlib.decompress(bytes(c))
             )
         if header.dpkr:
+            entropy.verify_chunk_range(packed_raw)  # no random access
             return memoryview(
                 native.rans_decompress(entropy.join_chunks(packed_raw))
             )[b0:b1]
+        # verbatim: decoded offset == stored offset, crc only the covering
+        # chunks (deferred-crc parses; plain parses already swept)
+        if len(packed_raw) > 1:
+            cb = len(packed_raw[0])
+            entropy.verify_chunk_range(
+                packed_raw, min(b0 // cb, len(packed_raw) - 1),
+                min(len(packed_raw), -(-b1 // cb)),
+            )
+        else:
+            entropy.verify_chunk_range(packed_raw)
         return memoryview(entropy.join_chunks(packed_raw))[b0:b1]
 
     def _exc_task():  # zst/rans flags cover the exceptions in DPK containers
         if header.zst:
             return entropy.chunked_unzstd(exc_z)
         if header.rans:
+            entropy.verify_chunk_range(exc_z)
             return native.rans_decompress(b"".join(exc_z))
         return entropy.chunked_inflate(exc_z)
+
+    def _exc_range(e0: int, e1: int):
+        """Exception bytes [e0, e1) (byte offsets == item offsets: 1 byte
+        each) — the tile-range path decodes and crc-verifies only the
+        covering chunks; the joined rANS stream has no random access."""
+        if header.zst:
+            return entropy.decode_chunk_range(
+                exc_z, e0, e1, entropy.zstd_decompress
+            )
+        if header.rans:
+            entropy.verify_chunk_range(exc_z)
+            return memoryview(
+                native.rans_decompress(b"".join(exc_z))
+            )[e0:e1]
+        return entropy.decode_chunk_range(exc_z, e0, e1, entropy.inflate)
 
     f_width = pool.submit(_side, widths_z)
     if tile_range is None:
         f_tight = pool.submit(_tight_task)
-    f_exc = pool.submit(_exc_task)
+        f_exc = pool.submit(_exc_task)
     if float_planes == "skip":
         # the caller range-decodes DC/AC itself (_float_section_range) —
         # hand back the raw section chunk lists untouched
@@ -958,15 +986,15 @@ def _dpk_host_rebuild(
         c0 = t0 * epc
         c1 = min(t1 * epc, n_chunks)
         ecum = np.concatenate(([0], np.cumsum(exc_counts, dtype=np.int64)))
-        exc_slice = slice(int(ecum[c0]), int(ecum[c1]))
         exc_counts_loc = exc_counts[c0:c1]
+        f_exc_r = pool.submit(_exc_range, int(ecum[c0]), int(ecum[c1]))
         f_rows = pool.submit(
             lambda: entropy.pad_row_prefixes(
                 tight, bpr, tile_b // 2, np.uint8
             )
         )
+        exc_tight = np.frombuffer(f_exc_r.result(), np.uint8)
     else:
-        exc_slice = slice(None)
         exc_counts_loc = exc_counts
         # the two row re-pads are independent of each other and of the DC/AC
         # sections: run the packed one on the pool while this thread pads the
@@ -977,7 +1005,7 @@ def _dpk_host_rebuild(
                 f_tight.result(), bpr, tile_b // 2, np.uint8
             )
         )
-    exc_tight = np.frombuffer(f_exc.result(), np.uint8)[exc_slice]
+        exc_tight = np.frombuffer(f_exc.result(), np.uint8)
     peak_e = int(exc_counts_loc.max()) if exc_counts_loc.size else 0
     cape = next(
         c
@@ -1607,21 +1635,21 @@ def _auto_rate_brsf(arr, n: int, cfg: CodecConfig) -> float:
 def _resolve_segment(cfg: CodecConfig, n: int) -> int | None:
     """Segment size for the pipelined DTZS path, or None for monolithic.
 
-    "auto" (the default) engages DEFAULT_SEGMENT-element frames for v2 EC
+    "auto" (the default) engages DEFAULT_SEGMENT-element frames for v2
     arrays of >= stream.AUTO_THRESHOLD elements, so the host entropy stage
     overlaps device compute instead of serializing after it. v1 stays
-    monolithic (the reference container has no framing); QT stays
-    monolithic under "auto" because the quantizer table is a whole-array
-    reduction — per-frame tables are self-consistent but not stream-
-    identical to the monolithic encoding (an explicit segment_elems opts
-    in)."""
+    monolithic (the reference container has no framing). QT joins EC under
+    "auto" as of round 5: the stream writer runs a global qtable pre-pass
+    (pass 1 over every segment, max-reduced) so each frame renormalizes
+    against the whole-array table — streamed QT semantics are monolithic-
+    identical (stream.compress_stream, tests/test_stream.py)."""
     from . import stream as dstream
 
     se = cfg.segment_elems
     if se == "auto":
         if (
             cfg.container == "v2"
-            and cfg.mode == "ec"
+            and cfg.mode in ("ec", "qt")
             and n >= dstream.AUTO_THRESHOLD
         ):
             return dstream.DEFAULT_SEGMENT

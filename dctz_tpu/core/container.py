@@ -335,8 +335,19 @@ def pack_v2(
 
 def parse_v2(
     blob: bytes | memoryview,
+    chunk_crcs: str = "verify",
 ) -> tuple[Header, tuple[list[bytes], list[bytes], list[bytes]], np.ndarray | None, int]:
-    """Inverse of pack_v2; returns (header, stream chunks, qtable, chunk_bytes)."""
+    """Inverse of pack_v2; returns (header, stream chunks, qtable, chunk_bytes).
+
+    chunk_crcs: "verify" (default) sweeps every payload chunk's crc32 up
+    front — O(container). "defer" skips the sweep and attaches the stored
+    crcs to each section's chunk list (entropy.ChunkList.expected_crcs);
+    the decode helpers then verify exactly the chunks they touch
+    (entropy.verify_chunk_range) — the multi-host tile-range decode does
+    O(range) crc work per host. The header/table crc (version 3) is always
+    checked; it covers the crc tables themselves."""
+    if chunk_crcs not in ("verify", "defer"):
+        raise ValueError(f"chunk_crcs must be verify|defer, got {chunk_crcs}")
     blob = memoryview(blob)
     (
         magic,
@@ -386,10 +397,12 @@ def parse_v2(
                 "corrupted container: header/table crc mismatch"
             )
         off += 4
+    from . import entropy
+
     streams: list[list[memoryview]] = []
     flat: list[memoryview] = []  # all chunks in order, for the parallel crc
     for si, sizes in enumerate(tables):
-        chunks = []
+        chunks = entropy.ChunkList()
         for sz in sizes:
             if off + sz > len(blob):
                 raise ValueError("truncated container: chunk past end")
@@ -399,11 +412,11 @@ def parse_v2(
             # numpy/b"".join) accepts buffer objects
             chunks.append(blob[off : off + sz])
             off += sz
+        if version >= 2 and chunk_crcs == "defer":
+            chunks.expected_crcs = crcs[si]
         flat.extend(chunks)
         streams.append(chunks)
-    if version >= 2:
-        from . import entropy
-
+    if version >= 2 and chunk_crcs == "verify":
         got = entropy.crc32_many(flat)
         want = [c for sec in crcs for c in sec]
         if got != want:

@@ -131,6 +131,7 @@ def chunked_zstd(
 def chunked_unzstd(chunks: Sequence[bytes]) -> bytes:
     if not chunks:
         return b""
+    verify_chunk_range(chunks)
     futs = [_pool().submit(zstd_decompress, c) for c in chunks]
     return b"".join(f.result() for f in futs)
 
@@ -143,9 +144,16 @@ class ChunkList(list):
     opportunistically by the producer while the section codes on the pool
     (container.pack_v2 then skips its own crc pass over those bytes —
     measured ~2 ms off the 128 MB container's assembly). `crcs` entries are
-    ints or futures resolving to ints, aligned with the chunks."""
+    ints or futures resolving to ints, aligned with the chunks.
 
-    __slots__ = ("crcs",)
+    `expected_crcs` is the CONSUMER-side twin: container.parse_v2 with
+    chunk_crcs="defer" skips its O(container) verification sweep and
+    attaches the stored per-chunk crc32s here instead; the decode helpers
+    below then verify exactly the chunks they touch (verify_chunk_range) —
+    the multi-host tile-range decode of a monolithic container does
+    O(range) crc work per host instead of O(container)."""
+
+    __slots__ = ("crcs", "expected_crcs")
 
 
 def resolve_crcs(chunks) -> list[int] | None:
@@ -158,6 +166,25 @@ def resolve_crcs(chunks) -> list[int] | None:
         (c.result() if hasattr(c, "result") else c) & 0xFFFFFFFF
         for c in crcs
     ]
+
+
+def verify_chunk_range(chunks, k0: int = 0, k1: int | None = None) -> None:
+    """Verify chunks[k0:k1] against parse-attached expected crc32s
+    (ChunkList.expected_crcs, from container.parse_v2(chunk_crcs="defer")).
+    No-op for lists that carry none (the default parse already verified).
+    Raises the same ValueError shape as parse_v2's sweep on mismatch."""
+    want = getattr(chunks, "expected_crcs", None)
+    if want is None:
+        return
+    if k1 is None:
+        k1 = len(chunks)
+    k0 = max(k0, 0)
+    got = crc32_many(chunks[k0:k1])
+    for i, (g, w) in enumerate(zip(got, want[k0:k1])):
+        if g != w:
+            raise ValueError(
+                f"corrupted container: crc mismatch in chunk {k0 + i}"
+            )
 
 
 def crc32_many(chunks: Sequence[bytes]) -> list[int]:
@@ -332,12 +359,17 @@ def decode_chunk_range(chunks, b0: int, b1: int, decode_one):
     a host touches only its share of the bulk section."""
     if not chunks or b1 <= b0:
         return b""
+    verify_chunk_range(chunks, 0, 1)  # chunk 0 always decodes (dec_cs)
     first = decode_one(chunks[0])
     dec_cs = len(first)
     if len(chunks) == 1 or dec_cs == 0:
         return memoryview(first)[b0:b1]
     k0 = min(b0 // dec_cs, len(chunks) - 1)
     k1 = min(len(chunks), -(-b1 // dec_cs))
+    if k0 > 0:
+        verify_chunk_range(chunks, k0, k1)
+    elif k1 > 1:
+        verify_chunk_range(chunks, 1, k1)
     parts = [
         first if k == 0 else decode_one(chunks[k]) for k in range(k0, k1)
     ]
@@ -591,6 +623,7 @@ def decode_float_planes(chunks: list[bytes], item_range=None):
     multi-host slice decode's DC/AC path."""
     import struct
 
+    verify_chunk_range(chunks, 0, 1)  # directory chunk
     directory = chunks[0]
     itemsize = directory[0]
     methods = directory[1 : 1 + itemsize]
@@ -599,10 +632,14 @@ def decode_float_planes(chunks: list[bytes], item_range=None):
     # submit every plane's chunk decodes before gathering any (cross-plane
     # parallelism, mirror of the encode side); raw planes join zero-copy
     # when their chunks are consecutive views of the container buffer
+    exp = getattr(chunks, "expected_crcs", None)
     subs = []
     off = 1
     for i in range(itemsize):
-        subs.append(chunks[off : off + counts[i]])
+        sub = ChunkList(chunks[off : off + counts[i]])
+        if exp is not None:  # slicing drops the attribute — re-attach
+            sub.expected_crcs = exp[off : off + counts[i]]
+        subs.append(sub)
         off += counts[i]
     if item_range is not None:
         i0, i1 = item_range
@@ -610,6 +647,14 @@ def decode_float_planes(chunks: list[bytes], item_range=None):
         for i, sub in enumerate(subs):
             m = methods[i]
             if m == 0:
+                if len(sub) > 1:  # raw: decoded offset == stored offset
+                    cb = len(sub[0])
+                    verify_chunk_range(
+                        sub, min(i0 // cb, len(sub) - 1),
+                        min(len(sub), -(-i1 // cb)),
+                    )
+                else:
+                    verify_chunk_range(sub)
                 plane = memoryview(join_chunks(sub))[i0:i1]
             elif m == 3:
                 plane = decode_chunk_range(sub, i0, i1, zstd_decompress)
@@ -618,6 +663,7 @@ def decode_float_planes(chunks: list[bytes], item_range=None):
             else:
                 from .. import native
 
+                verify_chunk_range(sub)  # rANS has no random access
                 plane = memoryview(native.rans_decompress(b"".join(sub)))[
                     i0:i1
                 ]
@@ -631,6 +677,7 @@ def decode_float_planes(chunks: list[bytes], item_range=None):
     chunk_futs: list = [None] * itemsize
     single_futs: list = [None] * itemsize
     for i, sub in enumerate(subs):
+        verify_chunk_range(sub)  # full decode touches every chunk
         if methods[i] == 3:
             chunk_futs[i] = [_pool().submit(zstd_decompress, c) for c in sub]
         elif methods[i] == 2:
@@ -673,4 +720,5 @@ def chunked_deflate(
 def chunked_inflate(chunks: Sequence[bytes]) -> bytes:
     if not chunks:
         return b""
+    verify_chunk_range(chunks)
     return b"".join(inflate_streams(chunks))

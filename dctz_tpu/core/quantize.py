@@ -149,6 +149,7 @@ def encode(
     axis_name: str | None = None,
     compaction: str = "auto",
     promote: bool = True,
+    ext_qtable: jax.Array | None = None,
 ) -> Quantized:
     """Quantize padded block coefficients (nblk, bs); n is the true element
     count (static). Covers reference pass 1 + pass 2 for both modes.
@@ -156,7 +157,14 @@ def encode(
     axis_name: when running inside shard_map, the mesh axis to all-reduce the
     QT quantizer table over — the table must see pass-1 maxima from ALL
     shards before pass 2 (a ~512-byte `lax.pmax` riding ICI; the only
-    cross-chip communication besides the scaling factor)."""
+    cross-chip communication besides the scaling factor).
+
+    ext_qtable: externally reduced per-position |escaped coef| maxima
+    (slots >= 1; slot 0 ignored) — the segmented stream writer's GLOBAL
+    qtable (stream.compress_stream runs pass 1 over every segment first,
+    so each frame renormalizes against the whole-array table exactly like
+    the monolithic two-pass). Slot 0 is patched with THIS array's last
+    block DC (the reference quirk; the decoder never reads it)."""
     nblk, bs = coeffs.shape
     dtype = coeffs.dtype
     explicit_capacity = ac_capacity
@@ -175,19 +183,26 @@ def encode(
     qtable = None
 
     if cfg.mode == "qt":
-        # Per-position max |coef| over escaped entries (dctz-comp-lib.c:
-        # 355-398), clamped to >= 1.0 for j >= 1 (dctz-comp-lib.c:450-461).
-        col_max = jnp.max(
-            jnp.where(escape, jnp.abs(coeffs), jnp.zeros_like(coeffs)), axis=0
-        )
-        # qtable[0] = DC of the last block (faithful reference quirk);
-        # sharded runs take the pmax over shards' last-block DCs instead
-        # (decoder never reads slot 0, dctz-decomp-lib.c:396-413).
-        col_max = col_max.at[0].set(coeffs[-1, 0])
-        if axis_name is not None:
-            col_max = jax.lax.pmax(col_max, axis_name)
-        qtable = jnp.maximum(col_max, jnp.asarray(1.0, dtype))
-        qtable = qtable.at[0].set(col_max[0])
+        if ext_qtable is not None:
+            qtable = jnp.maximum(
+                ext_qtable.astype(dtype), jnp.asarray(1.0, dtype)
+            )
+            qtable = qtable.at[0].set(coeffs[-1, 0].astype(dtype))
+        else:
+            # Per-position max |coef| over escaped entries (dctz-comp-lib.c:
+            # 355-398), clamped to >= 1.0 for j >= 1 (dctz-comp-lib.c:450-461).
+            col_max = jnp.max(
+                jnp.where(escape, jnp.abs(coeffs), jnp.zeros_like(coeffs)),
+                axis=0,
+            )
+            # qtable[0] = DC of the last block (faithful reference quirk);
+            # sharded runs take the pmax over shards' last-block DCs instead
+            # (decoder never reads slot 0, dctz-decomp-lib.c:396-413).
+            col_max = col_max.at[0].set(coeffs[-1, 0])
+            if axis_name is not None:
+                col_max = jax.lax.pmax(col_max, axis_name)
+            qtable = jnp.maximum(col_max, jnp.asarray(1.0, dtype))
+            qtable = qtable.at[0].set(col_max[0])
 
         # Pass 2: renormalize outliers toward the bin range edge
         # (dctz-comp-lib.c:484-533). C mixes float with the double error

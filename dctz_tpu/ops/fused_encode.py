@@ -225,6 +225,38 @@ def _qtable_pass(x2, sf1, geom, bd, tile_r, grid, interpret, relaxed=False):
     return jnp.maximum(col64, jnp.float32(1.0))
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def qtable_qmax(
+    x: jax.Array,
+    sf: jax.Array,
+    error_bound: float,
+    brsf: float = 1.0,
+    dct_precision: str = "highest",
+):
+    """QT pass 1 alone: the clamped (>= 1.0) per-position max |escaped
+    coefficient| of THIS array — slot 0 carries no meaning here (the
+    caller patches it with the last block's DC, the reference quirk).
+    The segmented stream writer max-reduces these across segments to the
+    GLOBAL qtable (stream.compress_stream), mirroring the monolithic
+    two-pass structure of /root/reference/dctz-comp-lib.c:355-398,450-461;
+    max is associative, so the reduction equals the whole-array pass."""
+    n = x.shape[0]
+    assert n % (LANES * 8) == 0, n
+    rows = n // LANES
+    tile_r = next(t for t in (512, 256, 128, 64, 32, 16, 8) if rows % t == 0)
+    grid = rows // tile_r
+    half = C.NBINS // 2
+    w = error_bound * 2.0 * brsf
+    rmax = (half * 2 + 1) * (error_bound * brsf)
+    qtf = 10.0 if C.NBINS == 255 else 2000.0
+    geom = jnp.asarray([-rmax, rmax, w, error_bound, qtf], jnp.float32)
+    bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
+    return _qtable_pass(
+        x.reshape(rows, LANES), sf.reshape(1).astype(jnp.float32), geom,
+        bd, tile_r, grid, False, dct_precision == "high",
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def fused_encode_qt(
     x: jax.Array,

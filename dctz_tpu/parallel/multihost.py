@@ -430,11 +430,12 @@ def decompress_multihost(stream: bytes | memoryview) -> LocalRestore:
 def _decompress_monolithic_local(data: memoryview) -> LocalRestore:
     """This host's slice of a MONOLITHIC container (not a DTZS stream).
 
-    v2 DPK containers decode by tile range — the only host-side work
-    proportional to the whole container is the crc sweep and the DC/AC
-    float sections; the bulk packed section and ALL device work cover just
-    this host's tiles. Generic v2 / v1 containers (no per-chunk counts to
-    slice the AC stream by) decode fully on every host and slice.
+    v2 DPK containers decode by tile range — the bulk packed section, the
+    DC/AC plane chunks, the crc verification (deferred parse), and ALL
+    device work cover just this host's tiles; only the small side-section
+    parses (meta/width tables, O(n/256)) span the container. Generic v2 /
+    v1 containers (no per-chunk counts to slice the AC stream by) decode
+    fully on every host and slice.
     """
     from ..api import (
         _decompress_dpk_range,
@@ -450,7 +451,11 @@ def _decompress_monolithic_local(data: memoryview) -> LocalRestore:
 
     header = None
     if ct.detect_format(data) == "v2":
-        header, streams, qtable, _cb = ct.parse_v2(data)
+        # defer the payload crc sweep: the tile-range path verifies exactly
+        # the chunks it touches (entropy.verify_chunk_range), so per-host
+        # crc work is O(range), not O(container). The generic fallback
+        # below re-parses inside decompress() with the full sweep.
+        header, streams, qtable, _cb = ct.parse_v2(data, chunk_crcs="defer")
     f64_split = (
         header is not None
         and header.dtype == np.float64

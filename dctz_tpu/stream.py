@@ -63,14 +63,15 @@ AUTO_THRESHOLD = 2 * DEFAULT_SEGMENT
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def _encode_segment(
     x: jax.Array, sf: jax.Array, tol: jax.Array, n: int, cfg: CodecConfig,
-    ac_capacity: int | None = None,
+    ac_capacity: int | None = None, ext_qtable: jax.Array | None = None,
 ):
     """Segment encode with an externally fixed scaling factor.
 
     cfg.verify runs the verify-repair pass per segment against the
     GLOBALLY-computed tolerance `tol` (pre-round-4 the generic segment
     path silently ignored cfg.verify — only the fused DPK segments
-    verified)."""
+    verified). ext_qtable: the GLOBAL per-position escape maxima for QT
+    segments (see _qtable_colmax_segment)."""
     xs = x / sf.astype(x.dtype)
     main_c, tail_c = transform.forward(
         xs, cfg.block_size, precision=transform.prec_of(cfg.dct_precision)
@@ -78,7 +79,7 @@ def _encode_segment(
     from .api import _pad_coeffs
 
     coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
-    q = qz.encode(coeffs, n, cfg, ac_capacity)
+    q = qz.encode(coeffs, n, cfg, ac_capacity, ext_qtable=ext_qtable)
     if cfg.verify:
         from .ops import repair
 
@@ -89,6 +90,31 @@ def _encode_segment(
         q = qz.repack(ids2, dense32, q.dc, q.qtable, n, cfg, ac_capacity)
         q = q._replace(bound_ok=ok)
     return q
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _qtable_colmax_segment(x: jax.Array, sf: jax.Array, n: int, cfg):
+    """QT pass 1 for one segment on the GENERIC path: per-position max
+    |escaped coefficient| (unclamped; slot 0 zeroed). The stream writer
+    max-reduces these to the global qtable — max is associative, so the
+    result equals the monolithic whole-array pass (qz.encode's col_max,
+    reference dctz-comp-lib.c:355-398)."""
+    from .api import _pad_coeffs
+
+    xs = x / sf.astype(x.dtype)
+    main_c, tail_c = transform.forward(
+        xs, cfg.block_size, precision=transform.prec_of(cfg.dct_precision)
+    )
+    coeffs = _pad_coeffs(main_c, tail_c, cfg.block_size)
+    nblk, bs = coeffs.shape
+    w, rmin, rmax = qz._geometry(cfg, np.dtype(coeffs.dtype.name))
+    _valid, ac_mask = qz._masks(nblk, bs, n)
+    in_range = (coeffs >= rmin) & (coeffs <= rmax)
+    escape = ac_mask & ~in_range
+    col_max = jnp.max(
+        jnp.where(escape, jnp.abs(coeffs), jnp.zeros_like(coeffs)), axis=0
+    )
+    return col_max.at[0].set(jnp.zeros((), coeffs.dtype))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -192,7 +218,7 @@ def compress_stream(
 
     dpk_seg = (
         cfg.ids_codec == "device"
-        and cfg.mode == "ec"
+        and cfg.mode in ("ec", "qt")
         and x.dtype == np.float32
         and cfg.block_size == dpk_fuse.BS
         and cfg.truncate
@@ -202,6 +228,39 @@ def compress_stream(
             qz.chunk_width(1024, cfg.block_size), cfg.nbins,
         )
     )
+
+    # QT: global qtable pre-pass — the quantizer table is a whole-array
+    # per-position max (reference dctz-comp-lib.c:355-398), so pass 1 runs
+    # over every segment FIRST and each frame then renormalizes against
+    # the same global table, keeping streamed QT semantics monolithic-
+    # identical (max is associative). Frames store that table with slot 0
+    # patched per frame (last block DC — the decoder never reads it).
+    qt_ext = None
+    if cfg.mode == "qt":
+        from .api import _device_cfg as _dcfg
+
+        qm = None
+        for seg in _segments(x, segment_elems):
+            if dpk_seg:
+                xs = jnp.asarray(seg)
+                pad = (-xs.shape[0]) % 1024
+                if pad:
+                    xs = jnp.concatenate([xs, jnp.zeros((pad,), xs.dtype)])
+                from .ops import fused_encode as fe
+
+                q1 = fe.qtable_qmax(
+                    xs, jnp.asarray(np.float32(sf)),
+                    float(cfg.error_bound), cfg.brsf, cfg.dct_precision,
+                )
+            else:
+                dt = np.dtype(str(seg.dtype))
+                q1 = _qtable_colmax_segment(
+                    jnp.asarray(seg), jnp.asarray(np.asarray(sf, dt)),
+                    int(seg.shape[0]), _dcfg(cfg),
+                )
+            qm = q1 if qm is None else jnp.maximum(qm, q1)
+        qt_ext = qm
+
     if dpk_seg:
         # fused-kernel segments: every frame is a DPK v2 container packed
         # by the SAME host code as the monolithic path (api._pack_dpk_v2);
@@ -210,7 +269,7 @@ def compress_stream(
             pending = None
             for si, seg in enumerate(_segments(x, segment_elems)):
                 outs = _encode_segment_dpk(
-                    seg, sf, tol, _device_cfg(cfg), cfg
+                    seg, sf, tol, _device_cfg(cfg), cfg, qt_ext
                 )
                 if pending is not None:
                     written += write_frame(pending.result())
@@ -231,7 +290,8 @@ def compress_stream(
             sfv = jnp.asarray(np.asarray(sf, dt))
             tolv = jnp.asarray(np.asarray(tol, dt))
             q = _encode_segment(
-                jnp.asarray(seg), sfv, tolv, n_seg, _device_cfg(cfg)
+                jnp.asarray(seg), sfv, tolv, n_seg, _device_cfg(cfg),
+                None, qt_ext,
             )
             if q.overflowed is not None and bool(
                 jax.device_get(q.overflowed)
@@ -242,7 +302,7 @@ def compress_stream(
                 n_pad = -(-n_seg // cfg.block_size) * cfg.block_size
                 q = _encode_segment(
                     jnp.asarray(seg), sfv, tolv, n_seg, _device_cfg(cfg),
-                    qz.chunk_width(n_pad, cfg.block_size),
+                    qz.chunk_width(n_pad, cfg.block_size), qt_ext,
                 )
             if pending is not None:
                 written += write_frame(pending.result())
@@ -268,25 +328,31 @@ def _warn_bound(bound_bad: list) -> None:
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape):
+def _encode_segment_dpk_jit(x, sf, tol, n_valid, cfg, cape, qtable=None):
     from .ops import dpk_fuse
 
     cw = qz.chunk_width(x.shape[0], cfg.block_size)
+    qtf = 10.0 if cfg.nbins == 255 else 2000.0
     return dpk_fuse.encode_x_fused(
         x, sf, tol, n_valid, float(cfg.error_bound), min(cape, cw), cw,
-        cfg.verify, brsf=cfg.brsf, dct_precision=cfg.dct_precision,
+        cfg.verify, qtable, qtf, brsf=cfg.brsf,
+        dct_precision=cfg.dct_precision,
     )
 
 
 def _encode_segment_dpk(
-    seg: np.ndarray, sf: float, tol: float, cfg, host_cfg: CodecConfig
+    seg: np.ndarray, sf: float, tol: float, cfg, host_cfg: CodecConfig,
+    qt_ext=None,
 ):
     """Device stage of one DPK segment (padded to the 1024 tile quantum);
     retries once at full chunk width on capacity overflow. The f32 DC/AC
     streams leave the device as byte planes (api._plane_split2) so the
     host packer skips its shuffle pass — decided on host_cfg (the
     UN-normalized config: _device_cfg zeroes the host-side shuffle/plc
-    fields, which would silently disable the split)."""
+    fields, which would silently disable the split). qt_ext: the GLOBAL
+    clamped qtable for QT segments (fused_encode.qtable_qmax max-reduced
+    over all segments); the frame's stored copy gets slot 0 patched with
+    this segment's last block DC (the reference quirk)."""
     from .api import _plane_mode, _plane_split2
     from .ops import idpack
 
@@ -297,17 +363,23 @@ def _encode_segment_dpk(
         xs = jnp.concatenate([xs, jnp.zeros((pad,), xs.dtype)])
     sfv = jnp.asarray(np.asarray(sf, np.float32))
     tolv = jnp.asarray(np.asarray(tol, np.float32))
-    outs = _encode_segment_dpk_jit(xs, sfv, tolv, n, cfg, idpack.CAPE)
+    outs = _encode_segment_dpk_jit(xs, sfv, tolv, n, cfg, idpack.CAPE, qt_ext)
     if bool(jax.device_get(outs[7])):
         outs = _encode_segment_dpk_jit(
-            xs, sfv, tolv, n, cfg, qz.chunk_width(n + pad, cfg.block_size)
+            xs, sfv, tolv, n, cfg, qz.chunk_width(n + pad, cfg.block_size),
+            qt_ext,
         )
+    qt_seg = (
+        qt_ext.astype(jnp.float32).at[0].set(outs[6][-1])
+        if qt_ext is not None
+        else None
+    )
     planes = (
         _plane_split2(outs[6], outs[4])
         if _plane_mode(host_cfg, outs[6])
         else None
     )
-    return outs, planes, n + pad
+    return outs, planes, n + pad, qt_seg
 
 
 def _pack_segment_dpk(
@@ -319,7 +391,7 @@ def _pack_segment_dpk(
     from .api import _pack_dpk_v2
 
     (width, packed, exc_rows, exc_counts, ac_chunks, counts, dc, _ovf,
-     _ok), planes, n_pad = outs_npad
+     _ok), planes, n_pad, qt_seg = outs_npad
     dc_planes = ac_planes = None
     if planes is not None:
         width, packed, exc_rows, exc_counts, dc_planes, ac_planes, counts = (
@@ -355,9 +427,12 @@ def _pack_segment_dpk(
         truncate=cfg.truncate,
         brsf=cfg.brsf,
     )
+    qtable = (
+        np.asarray(jax.device_get(qt_seg)) if qt_seg is not None else None
+    )
     return _pack_dpk_v2(
         header, width, packed, exc_rows, exc_counts, counts, ac_chunks,
-        dc, n_pad, cfg, None, dc_planes=dc_planes, ac_planes=ac_planes,
+        dc, n_pad, cfg, qtable, dc_planes=dc_planes, ac_planes=ac_planes,
     )
 
 

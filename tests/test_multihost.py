@@ -283,6 +283,80 @@ def test_dpk_range_decode_matches_full():
         np.testing.assert_array_equal(y, full, err_msg=f"{n} {codec}")
 
 
+def _chunk_offset(blob: bytes, chunk: memoryview) -> int:
+    """Byte offset of a parse_v2 zero-copy chunk view within the blob."""
+    base = np.frombuffer(blob, np.uint8)
+    return np.frombuffer(chunk, np.uint8).ctypes.data - base.ctypes.data
+
+
+def test_dpk_range_decode_deferred_crc_is_range_local(monkeypatch):
+    """parse_v2(chunk_crcs="defer") + _decompress_dpk_range verifies ONLY
+    the chunks the tile range touches: corruption outside the range goes
+    unnoticed by the range decode (but is caught by the default full parse
+    and by a range that covers it), and the crc'd payload bytes scale with
+    the range, not the container."""
+    from dctz_tpu import api
+    from dctz_tpu.config import CodecConfig
+    from dctz_tpu.core import container as ct
+    from dctz_tpu.core import entropy
+    from dctz_tpu.ops import idpack
+
+    n = 1 << 18
+    x = (
+        np.sin(np.arange(n, dtype=np.float32) * 0.01) * 20
+        + np.random.default_rng(7).standard_normal(n).astype(np.float32)
+        * 0.05
+    )
+    cfg = CodecConfig(
+        mode="ec", error_bound=1e-3, container="v2", ids_codec="device",
+        segment_elems=0, chunk_bytes=4096, dpk_host_codec="zstd",
+    )
+    blob = dctz_tpu.compress(x, config=cfg)
+    header, streams, qtable, _cb = ct.parse_v2(blob, chunk_crcs="defer")
+    assert header.dpk
+    packed = streams[1]
+    assert len(packed) >= 3, "need several bulk chunks for range locality"
+    n_stream, tile_b, cw = api._dpk_meta(header, streams)
+    t = idpack.tiles_of(-(-n_stream // header.block_size), tile_b)
+    assert t >= 2
+
+    # crc'd payload bytes scale with the range: a 1/4-tile range must hash
+    # well under half the payload (side sections meta/width/exc are small)
+    tally: list[int] = []
+    orig_many = entropy.crc32_many
+
+    def counting(chunks):
+        tally.append(sum(len(c) for c in chunks))
+        return orig_many(chunks)
+
+    monkeypatch.setattr(entropy, "crc32_many", counting)
+    quarter = api._decompress_dpk_range(
+        header, streams, qtable, 0, max(1, t // 4)
+    )
+    monkeypatch.setattr(entropy, "crc32_many", orig_many)
+    payload = sum(len(c) for sec in streams for c in sec)
+    assert sum(tally) < 0.5 * payload, (sum(tally), payload)
+    full = dctz_tpu.decompress(blob)
+    np.testing.assert_array_equal(
+        quarter, full[: quarter.size]
+    )
+
+    # corrupt the LAST bulk chunk: an early range decodes clean, a range
+    # covering it raises, and the default (sweeping) parse always raises
+    tgt = packed[-1]
+    off = _chunk_offset(blob, tgt)
+    bad = bytearray(blob)
+    bad[off + len(tgt) - 1] ^= 0xFF
+    bad = bytes(bad)
+    h2, s2, q2, _ = ct.parse_v2(bad, chunk_crcs="defer")
+    early = api._decompress_dpk_range(h2, s2, q2, 0, max(1, t // 4))
+    np.testing.assert_array_equal(early, quarter)
+    with pytest.raises(ValueError, match="crc mismatch"):
+        api._decompress_dpk_range(h2, s2, q2, 0, t)
+    with pytest.raises(ValueError, match="crc mismatch"):
+        ct.parse_v2(bad)
+
+
 def test_distributed_restore_monolithic_dpk(tmp_path):
     """ONE monolithic DPK v2 container restored by 2 distributed processes:
     each host decodes only its tile range (api._decompress_dpk_range) and

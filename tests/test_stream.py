@@ -122,6 +122,91 @@ def test_stream_dpk_fused_segments_roundtrip():
         jax.config.update("jax_enable_x64", old_x64)
 
 
+def test_stream_qt_matches_monolithic():
+    """Streamed QT (round 5): the global qtable pre-pass makes segmented
+    QT encoding monolithic-identical — the decoded array is bit-equal to
+    the single-shot QT codec's (generic/XLA path)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(64 * 512) * 5
+    x[::971] *= 40.0  # escapes in several positions -> nontrivial qtable
+    cfg = CodecConfig(mode="qt", error_bound=1e-4, container="v2")
+    buf = io.BytesIO()
+    stream.compress_stream(x, buf, config=cfg, segment_elems=64 * 128)
+    buf.seek(0)
+    y_stream = stream.decompress_stream_all(buf)
+    y_mono = dctz_tpu.decompress(dctz_tpu.compress(x, config=cfg))
+    np.testing.assert_array_equal(y_stream, y_mono)
+
+    # every frame stores the GLOBAL table (slots >= 1; slot 0 is the
+    # frame's own last-block DC, never read by the decoder)
+    from dctz_tpu.core import container as ct
+
+    raw = buf.getvalue()
+    off = stream._HDR.size
+    tables = []
+    while True:
+        (flen,) = stream._FRAME.unpack_from(raw, off)
+        if not flen:
+            break
+        hdr, _s, qtable, _cb = ct.parse_v2(
+            raw[off + stream._FRAME.size : off + stream._FRAME.size + flen]
+        )
+        assert hdr.mode == "qt"
+        tables.append(qtable)
+        off += stream._FRAME.size + flen
+    assert len(tables) == 4
+    for t in tables[1:]:
+        np.testing.assert_array_equal(t[1:], tables[0][1:])
+
+
+def test_stream_dpk_qt_fused_segments_roundtrip():
+    """QT on the pipelined DPK segment path (round 5): frames are QT DPK
+    v2 containers sharing the global qtable; the decoded stream equals the
+    monolithic fused QT decode bit-for-bit and holds the bound."""
+    import jax
+
+    from dctz_tpu.core import container as ct
+    from dctz_tpu.ops import dpk_fuse
+    from dctz_tpu.ops import fused_encode as fe
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    dpk_fuse._FORCE, dpk_fuse._INTERPRET = True, True
+    fe._INTERPRET = True
+    try:
+        rng = np.random.default_rng(9)
+        x = (np.sin(np.arange(1 << 17, dtype=np.float32) * 0.01) * 20
+             + rng.standard_normal(1 << 17).astype(np.float32) * 0.05)
+        x[::977] *= 30.0
+        cfg = CodecConfig(
+            mode="qt", error_bound=1e-3, container="v2",
+            ids_codec="device", verify=True,
+        )
+        buf = io.BytesIO()
+        stream.compress_stream(x, buf, config=cfg, segment_elems=1 << 16)
+        raw = buf.getvalue()
+        off = stream._HDR.size
+        (flen,) = stream._FRAME.unpack_from(raw, off)
+        hdr, _s, qt0, _cb = ct.parse_v2(
+            raw[off + stream._FRAME.size : off + stream._FRAME.size + flen]
+        )
+        assert hdr.dpk and hdr.mode == "qt" and qt0 is not None
+        buf.seek(0)
+        y = stream.decompress_stream_all(buf)
+        tol = 1e-3 * (x.max() - x.min())
+        assert np.abs(y - x).max() <= tol
+
+        import dataclasses
+
+        mono_cfg = dataclasses.replace(cfg, segment_elems=0)
+        y_mono = dctz_tpu.decompress(dctz_tpu.compress(x, config=mono_cfg))
+        np.testing.assert_array_equal(y, y_mono)
+    finally:
+        dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
+        fe._INTERPRET = False
+        jax.config.update("jax_enable_x64", old_x64)
+
+
 def test_segment_dpk_plane_split_engages():
     """The device byte-plane split must activate on the pipelined DPK
     segments for the DEFAULT config (regression: deciding on the
@@ -139,7 +224,7 @@ def test_segment_dpk_plane_split_engages():
             mode="ec", error_bound=1e-3, container="v2", ids_codec="device",
         )
         seg = np.sin(np.arange(1 << 12, dtype=np.float32)) * 5
-        outs, planes, n_pad = stream._encode_segment_dpk(
+        outs, planes, n_pad, _qt = stream._encode_segment_dpk(
             seg, 8.0, 1e-2, _device_cfg(cfg), cfg
         )
         assert planes is not None
@@ -176,8 +261,9 @@ def test_compress_segment_elems_routes_to_stream():
 
 
 def test_auto_segment_resolution():
-    """segment_elems='auto' (the default) pipelines large v2 EC arrays and
-    stays monolithic for v1, QT, and small inputs."""
+    """segment_elems='auto' (the default) pipelines large v2 arrays (EC
+    and, as of round 5, QT via the global qtable pre-pass) and stays
+    monolithic for v1 and small inputs."""
     from dctz_tpu import api
 
     auto = CodecConfig(container="v2")
@@ -190,7 +276,10 @@ def test_auto_segment_resolution():
     v1 = CodecConfig(container="v1")
     assert api._resolve_segment(v1, stream.AUTO_THRESHOLD) is None
     qt = CodecConfig(container="v2", mode="qt")
-    assert api._resolve_segment(qt, stream.AUTO_THRESHOLD) is None
+    assert (
+        api._resolve_segment(qt, stream.AUTO_THRESHOLD)
+        == stream.DEFAULT_SEGMENT
+    )
     off = CodecConfig(container="v2", segment_elems=0)
     assert api._resolve_segment(off, stream.AUTO_THRESHOLD) is None
     explicit = CodecConfig(container="v2", segment_elems=1 << 16)

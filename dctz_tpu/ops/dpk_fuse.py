@@ -44,6 +44,12 @@ from . import shuffle
 BS = 64  # DCT block size
 TILE_B = 256  # blocks per DPK tile (idpack.B_DEFAULT)
 TILE_N = TILE_B * BS  # elements per tile
+#: format tiles per ENCODE grid step (supertiling, round 5): the per-step
+#: fixed cost is ~166 ns on v5e and separate tiles' dependent roll chains
+#: interleave, so fewer/fatter steps are measurably faster — streams stay
+#: bit-identical at every value (tests A/B tps). Tuned on chip
+#: (tools/measure/ab_tps.py).
+TPS = 4
 _BIG = 1 << 20  # python int: a jnp scalar here would be a captured constant
 
 # Test hooks (cf. ops/shuffle.py)
@@ -240,17 +246,28 @@ def encode_eligible(b: int, bs: int, cw: int, nbins: int = C.NBINS) -> bool:
 
 
 def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref):
+               w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref,
+               tps: int = 1):
     """Shared encode tile body: width selection, bit packing, unified
     butterfly compaction, counts, DC extraction. nib_tm is the TILE-major
-    (64, 256) nibble grid; idsc/vals3 the chunk-major (cpt, cw) id/value
-    grids (already validity-masked)."""
+    (64*tps, 256) nibble grid (tps tiles stacked along sublanes);
+    idsc/vals3 the chunk-major (cpt*tps, cw) id/value grids (already
+    validity-masked, tile-major row blocks).
+
+    tps > 1 = SUPERTILING (round 5): several format tiles per grid step.
+    Measured on v5e, the per-grid-step fixed cost is ~166 ns and the
+    dependent roll chains of separate tiles interleave (ILP), so fewer,
+    fatter steps cut the encode kernel's wall time substantially
+    (tools/measure/probe_primitives.py: the 27-stage roll network alone
+    goes 5.36 -> 3.47 ms/128 MB at tps=2). Streams are bit-identical —
+    the per-row math never crosses tile rows."""
     g = cw // BS
     cpt = TILE_N // cw
 
     # width selection per position row (cost = w*B + 8*#exceptions,
-    # first-minimal wins like jnp.argmin — idpack.pack_ids)
-    maxv = jnp.max(nib_tm, axis=1, keepdims=True)  # (64, 1)
+    # first-minimal wins like jnp.argmin — idpack.pack_ids); rows of
+    # stacked tiles batch through the same row-wise reductions
+    maxv = jnp.max(nib_tm, axis=1, keepdims=True)  # (64*tps, 1)
     best = jnp.where(maxv == 0, 0, _INF)
     width = jnp.zeros_like(best)
     for wb in (1, 2, 3, 4):
@@ -269,7 +286,7 @@ def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
     # value's bits can span two bytes), select per row
     kk = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, 128), 1)
-    packed = jnp.zeros((BS, 128), jnp.int32)
+    packed = jnp.zeros((BS * tps, 128), jnp.int32)
     for wb in (1, 2, 4):
         w_mat = jnp.where(
             (kk * wb) // 8 == ii, 1 << ((kk * wb) % 8), 0
@@ -284,41 +301,63 @@ def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
     w24_mat = jnp.where(k32 // 8 == g32, 1 << (3 * (k32 % 8)), 0)
     w24 = _dg(
         _bf16(jnp.minimum(nib_tm, 7)), _bf16(w24_mat), ((1,), (0,))
-    )  # (64, 32) f32, exact (< 2^24)
+    )  # (64*tps, 32) f32, exact (< 2^24)
     gg = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 1)
     g3 = ((gg == jj // 3) & (jj < 96)).astype(jnp.float32)
     w24g = _dg(w24, g3, ((1,), (0,)), jax.lax.Precision.HIGHEST)
-    jl = jax.lax.broadcasted_iota(jnp.int32, (BS, 128), 1)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (BS * tps, 128), 1)
     pk3 = (w24g.astype(jnp.int32) >> (8 * (jl % 3))) & 255
     packed = jnp.where(width == 3, pk3, packed)
     pk_ref[:] = packed.astype(jnp.uint8)
 
-    # width row (1, 64) back from the (64, 1) column via the diagonal
+    # width row (1, 64) per tile back from its (64, 1) column via the
+    # diagonal (sublane slices at 64-row boundaries are vreg-aligned)
     eye64 = (
         jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
     ).astype(jnp.int32)
-    w_row = jnp.sum(width * eye64, axis=0, keepdims=True)  # (1, 64)
-    w8_ref[:] = jnp.broadcast_to(w_row, (8, BS)).astype(jnp.uint8)
+    w_rows = []
+    for p in range(tps):
+        w_row = jnp.sum(
+            width[BS * p : BS * (p + 1)] * eye64, axis=0, keepdims=True
+        )  # (1, 64)
+        w_rows.append(w_row)
+    w8_ref[:] = jnp.concatenate(
+        [jnp.broadcast_to(w, (8, BS)) for w in w_rows], axis=0
+    ).astype(jnp.uint8)
 
     nib3 = jnp.minimum(idsc, 15)
-    thr_row = jnp.where(w_row > 0, (1 << w_row) - 1, jnp.int32(_BIG))
-    thr3 = jnp.broadcast_to(
-        jnp.concatenate([thr_row] * g, axis=1), (cpt, cw)
+    thr3 = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.concatenate(
+                    [
+                        jnp.where(
+                            w > 0, (1 << w) - 1, jnp.int32(_BIG)
+                        )
+                    ]
+                    * g,
+                    axis=1,
+                ),
+                (cpt, cw),
+            )
+            for w in w_rows
+        ],
+        axis=0,
     )
     mask3 = (nib3 >= thr3).astype(jnp.int32)
 
-    excc = jnp.sum(mask3, axis=1, keepdims=True)  # (cpt, 1)
+    excc = jnp.sum(mask3, axis=1, keepdims=True)  # (cpt*tps, 1)
     acc = jnp.sum(
         (idsc == C.ESCAPE).astype(jnp.int32), axis=1, keepdims=True
     )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cpt, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cpt * tps, 128), 1)
     cnt_ref[:] = jnp.where(
         lane == 0, excc, jnp.where(lane == 1, acc, 0)
     )
 
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt * tps, cw), 1)
     exc_b, ac = shuffle.route_compact_unified(
         mask3, idsc, vals3, cape_k, capc_k, col3
     )
@@ -388,7 +427,7 @@ def _dot_bf16x3(a, b):
 
 def _make_encode_x_kernel(
     cw: int, cape_k: int, capc_k: int, verify: bool, qt: bool,
-    relaxed: bool = False,
+    relaxed: bool = False, tps: int = 1,
 ):
     """EC/QT encode from raw samples: scale -> DCT -> quantize (mirror of
     ops/fused_encode._kernel / _kernel_qt) -> optional in-kernel
@@ -398,9 +437,14 @@ def _make_encode_x_kernel(
     encode. QT mode takes the (already globally-reduced) qtable as an
     input and renormalizes escapes exactly like the two-pass XLA path;
     forced-escape side is chosen by SIGN (repair._stored_dense semantics —
-    identical to the out-of-range side for natural escapes)."""
+    identical to the out-of-range side for natural escapes).
+
+    tps: format tiles per grid step (supertiling, see _pack_tile) — all
+    row-wise math batches over the stacked tiles; only the per-tile
+    transpose below loops."""
     g128 = cw // 128
     half = C.NBINS // 2
+    R = 128 * tps  # sample rows per grid step
 
     def kernel(np_ref, nv_ref, sf_ref, geom_ref, x_ref, bdf_ref, bdi_ref,
                *rest):
@@ -429,10 +473,10 @@ def _make_encode_x_kernel(
                 xs, bdf_ref[:],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (128, 128)
-        col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        gpos = (t * 128 + row) * 128 + col
+            )  # (R, 128)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        gpos = (t * R + row) * 128 + col
         is_dc = (col % BS) == 0
         in_range = (coef >= rmin) & (coef <= rmax)
 
@@ -558,19 +602,36 @@ def _make_encode_x_kernel(
         ids_i = jnp.where((gpos < np_ref[0]) & ((col % BS) >= 1), ids, 0)
         nib = jnp.minimum(ids_i, 15)
 
-        # tile-major (64, 256): one selection matmul (nibbles <= 15).
-        # Roll the right half to lane offset 0 first — Mosaic cannot
-        # concatenate slices with mismatched lane offsets along sublanes.
-        hi = pltpu.roll(nib, BS, axis=1)[:, :BS]
-        s_halves = jnp.concatenate([nib[:, :BS], hi], axis=0)
+        # tile-major (64*tps, 256): one selection matmul per tile (nibbles
+        # <= 15). Roll the right half to lane offset 0 first — Mosaic
+        # cannot concatenate slices with mismatched lane offsets along
+        # sublanes. The roll runs once at full width (rolls over sliced
+        # arrays crash Mosaic); the per-tile slices are sublane-aligned.
+        hi_full = pltpu.roll(nib, BS, axis=1)[:, :BS]
+        lo_full = nib[:, :BS]
         qi = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, TILE_B), 0)
         bi = jax.lax.broadcasted_iota(jnp.int32, (TILE_B, TILE_B), 1)
         even = (bi % 2) == 0
         m_sel = ((even & (qi == bi // 2))
                  | (~even & (qi == 128 + bi // 2))).astype(jnp.int32)
-        nib_tm = _dg(
-            _bf16(s_halves), _bf16(m_sel), ((0,), (0,))
-        ).astype(jnp.int32)
+        m_selb = _bf16(m_sel)
+        tm_parts = []
+        for p in range(tps):
+            s_halves = jnp.concatenate(
+                [lo_full[128 * p : 128 * (p + 1)],
+                 hi_full[128 * p : 128 * (p + 1)]],
+                axis=0,
+            )
+            tm_parts.append(
+                _dg(_bf16(s_halves), m_selb, ((0,), (0,))).astype(
+                    jnp.int32
+                )
+            )
+        nib_tm = (
+            tm_parts[0]
+            if tps == 1
+            else jnp.concatenate(tm_parts, axis=0)
+        )
 
         # chunk-major (cpt, cw) via scratch strided slices. Stored values:
         # DC = the coefficient; QT escapes = the renormalized value
@@ -581,6 +642,9 @@ def _make_encode_x_kernel(
             scr_f[:] = stored
         else:
             scr_f[:] = coef
+        # the strided slices interleave tiles correctly at any tps: chunk
+        # row j of the step is scratch row k + g128*j, and 128 % g128 == 0
+        # keeps each tile's rows contiguous (tile-major chunk order)
         idsc = jnp.concatenate(
             [scr_i[k::g128, :] for k in range(g128)], axis=1
         )
@@ -589,7 +653,7 @@ def _make_encode_x_kernel(
         )
 
         _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
-                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref)
+                   w8_ref, pk_ref, exc_ref, ac_ref, cnt_ref, dc_ref, tps)
 
     return kernel
 
@@ -615,7 +679,11 @@ def encode_x_fused(
     (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
     overflow, ok) with the same stream contract as
     idpack.pack_ids_with_ac; `ok` is the verified-bound flag (always True
-    when verify=False)."""
+    when verify=False).
+
+    The grid runs TPS format tiles per step (supertiling — _pack_tile);
+    the array pads to whole supertiles with zeros, whose streams slice
+    off below. Streams are bit-identical at every tps."""
     from ..core.transform import _blockdiag_np
     import numpy as np
 
@@ -628,8 +696,11 @@ def encode_x_fused(
     cape = min(cape, cw)
     cape_k = min(cw, _ceil_lanes(cape))
 
-    xpad = t * TILE_N - n_pad
-    x2 = (jnp.pad(x, (0, xpad)) if xpad else x).reshape(t * 128, 128)
+    tps = min(TPS, t)
+    t_pad = -(-t // tps) * tps
+    xpad = t_pad * TILE_N - n_pad
+    x2 = (jnp.pad(x, (0, xpad)) if xpad else x).reshape(t_pad * 128, 128)
+    steps = t_pad // tps
 
     half = C.NBINS // 2
     w_bin = float(cfg_eb) * 2.0 * float(brsf)
@@ -652,7 +723,7 @@ def encode_x_fused(
 
     qt = qtable is not None
     kernel = _make_encode_x_kernel(
-        cw, cape_k, cape_k, verify, qt, dct_precision == "high"
+        cw, cape_k, cape_k, verify, qt, dct_precision == "high", tps
     )
     rep = lambda i: (0, 0)  # noqa: E731 — replicated blocks
     qt_specs = (
@@ -665,41 +736,53 @@ def encode_x_fused(
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (128 * tps, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((128, 128), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), rep, memory_space=pltpu.VMEM),
         ] + qt_specs,
         out_specs=[
-            pl.BlockSpec((8, BS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (cpt, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (8 * tps, BS), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (cpt, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (BS * tps, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((cpt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpt, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (cpt * tps, cape_k), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cpt * tps, cape_k), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cpt * tps, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (cpt * tps, g), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((8, 128), rep, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t * 8, BS), jnp.uint8),
-            jax.ShapeDtypeStruct((t * BS, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((t * cpt, cape_k), jnp.uint8),
-            jax.ShapeDtypeStruct((t * cpt, cape_k), jnp.float32),
-            jax.ShapeDtypeStruct((t * cpt, 128), jnp.int32),
-            jax.ShapeDtypeStruct((t * cpt, g), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad * 8, BS), jnp.uint8),
+            jax.ShapeDtypeStruct((t_pad * BS, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((t_pad * cpt, cape_k), jnp.uint8),
+            jax.ShapeDtypeStruct((t_pad * cpt, cape_k), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad * cpt, 128), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad * cpt, g), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((128, 128), jnp.int32),
-            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.VMEM((128 * tps, 128), jnp.int32),
+            pltpu.VMEM((128 * tps, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
         ],
         interpret=_INTERPRET,

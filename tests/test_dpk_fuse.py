@@ -221,6 +221,40 @@ def test_verified_encode_streams_identical(interp, f32_mode, fused_path):
     assert dctz_tpu.evaluate(x, y, 1e-3)["bound_satisfied"]
 
 
+@pytest.mark.parametrize("verify", [False, True])
+def test_encode_x_fused_tps_invariant(interp, f32_mode, verify):
+    """Supertiling (dpk_fuse.TPS, round 5) is a pure grid-granularity
+    change: streams are bit-identical at tps 1/3/4, including a tile
+    count that does not divide tps (zero-padded supertiles slice off)."""
+    from dctz_tpu.ops import fused_encode as fe
+    from dctz_tpu.ops.repair import _SLACK
+
+    rng = np.random.default_rng(5)
+    n = 5 * dpk_fuse.TILE_N  # 5 tiles: pads at tps 3 and 4
+    x = jnp.asarray(
+        np.sin(np.arange(n, dtype=np.float32) * 0.01) * 20
+        + rng.standard_normal(n).astype(np.float32) * 5.0
+    )
+    sf = jnp.asarray(100.0, jnp.float32)
+    tol = (jnp.max(x) - jnp.min(x)) * jnp.float32(1e-3) * _SLACK
+    cw = chunk_width(n, 64)
+    old = dpk_fuse.TPS
+    outs = {}
+    try:
+        for tps in (1, 3, 4):
+            dpk_fuse.TPS = tps
+            res = dpk_fuse.encode_x_fused(
+                x, sf, tol, n - 11, 1e-3, idpack.CAPE, cw, verify
+            )
+            outs[tps] = [np.asarray(v) for v in res]
+    finally:
+        dpk_fuse.TPS = old
+    names = NAMES + ["ok"]
+    for tps in (3, 4):
+        for a, b, nm in zip(outs[1], outs[tps], names):
+            assert np.array_equal(a, b), (tps, nm)
+
+
 def test_encode_sharded_fused_streams_identical(interp, f32_mode):
     """The per-shard fused kernel inside encode_sharded produces the same
     streams as the XLA shard body, on the 8-virtual-device mesh."""

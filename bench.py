@@ -242,6 +242,7 @@ def amortized_device_decode_s(blob) -> float:
             cw,
             sfv + eps,
             None,
+            header.dcd,
         )
         return x.ravel()[0].astype(jnp.float32)
 
@@ -303,6 +304,55 @@ def measure_pipeline_overlap(x) -> dict:
     }
 
 
+def measure_pipeline_1gb(dev_rate_s_per_seg: float) -> dict:
+    """The 1 GB pipelined soak point (VERDICT round-4 #8): one traced
+    pipelined compress of a DEVICE-RESIDENT 2^28-element array through the
+    public segment writer (16 DEFAULT_SEGMENT frames). Reports the
+    measured host-pack and overlap behavior at S=16 and the steady-state
+    rate using the amortized device rate (tunnel pulls excluded, as for
+    the 128 MB headline)."""
+    import io
+
+    from dctz_tpu import stream as dstream
+
+    n2 = 1 << 28  # 1 GB f32
+    x = jax.jit(climate_formula_jax, static_argnums=0)(n2)
+    _sync(x)
+    tr: list = []
+    buf = io.BytesIO()
+    t0 = time.perf_counter()
+    dstream.compress_stream(
+        x, buf, config=CFG, segment_elems=dstream.DEFAULT_SEGMENT, trace=tr
+    )
+    wall = time.perf_counter() - t0
+    del x
+    nbytes = buf.getbuffer().nbytes
+    f, hb, db = _interval_overlap(tr, ("pack",))
+    pulls = sum(b - a for k, _s, a, b in tr if k == "pull")
+    S = sum(1 for e in tr if e[0] == "device")
+    gb = n2 * 4 / 1e9
+    dev_s = dev_rate_s_per_seg * S
+    host_per_seg = hb / max(S, 1)
+    pipe = (
+        max(dev_s, hb)
+        + (1.0 - f) * min(dev_s, hb)
+        + f * min(dev_s, hb) / max(S, 1)
+    )
+    return {
+        "segments": S,
+        "ratio": round(gb * 1e9 / nbytes, 3),
+        "wall_s": round(wall, 3),
+        "host_pack_s_total": round(hb, 4),
+        "host_pack_ms_per_segment": round(host_per_seg * 1e3, 2),
+        "tunnel_pull_s": round(pulls, 3),
+        "overlap_frac": round(f, 3),
+        "steady_state_gbps": round(gb / pipe, 3),
+        "note": "device-resident input; device stage from the amortized "
+                "128 MB rate (scaling flat 128 MB-1 GB, docs/scaling.md); "
+                "tunnel pulls excluded as in the headline",
+    }
+
+
 def bench_jax() -> dict:
     x = jax.jit(climate_formula_jax, static_argnums=0)(N)
     _sync(x)  # materialize before timing
@@ -339,6 +389,8 @@ def bench_jax() -> dict:
     host_d = dt_last.stages.get("host", 0.0)
 
     ovl = measure_pipeline_overlap(x)
+    seg_frac = _stream_seg_frac()
+    big = measure_pipeline_1gb(dev_c * seg_frac)
 
     gb = N * 4 / 1e9
     total = dev_c + host_c + dev_d + host_d
@@ -368,6 +420,7 @@ def bench_jax() -> dict:
     return {
         "gbps": 2 * gb / (pipe_c + pipe_d),
         "measured_overlap": ovl,
+        "pipelined_1gb": big,
         "serial_sum_gbps": round(2 * gb / total, 3),
         # ceiling when the host stage hides fully under device compute
         # (production hosts: 112+ cores vs this box's 4 — docs/scaling.md);
@@ -401,6 +454,14 @@ def bench_jax() -> dict:
         "max_rel_err": q["max_rel_err"],
         "bound_satisfied_full_array": q["bound_satisfied"],
     }
+
+
+def _stream_seg_frac() -> float:
+    """DEFAULT_SEGMENT as a fraction of the bench array (device-stage time
+    per segment = amortized whole-array time x this)."""
+    from dctz_tpu import stream as dstream
+
+    return dstream.DEFAULT_SEGMENT / N
 
 
 def bench_native() -> dict:

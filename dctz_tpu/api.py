@@ -54,6 +54,7 @@ def _device_cfg(cfg: CodecConfig) -> CodecConfig:
         chunk_bytes=1 << 22,
         internal_dtype="auto",
         segment_elems=None,
+        dc_delta=False,
     )
 
 
@@ -166,7 +167,36 @@ def _combine_planes2(dc_pl: jax.Array, ac_pl: jax.Array):
     return _combine_planes(dc_pl), _combine_planes(ac_pl)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+def _f32_delta_dev(dc: jax.Array) -> jax.Array:
+    """Device twin of entropy.f32_delta (bit-identical: exact u32
+    arithmetic both places). XLA fuses it into the plane-split epilogue."""
+    u = jax.lax.bitcast_convert_type(dc, jnp.uint32)
+    m = jnp.where((u >> 31) != 0, ~u, u | jnp.uint32(0x80000000))
+    n = m.shape[0]
+    R = entropy.DC_RESTART
+    k = -(-n // R)
+    pad = k * R - n
+    m2 = (jnp.pad(m, (0, pad)) if pad else m).reshape(k, R)
+    d = jnp.concatenate([m2[:, :1], m2[:, 1:] - m2[:, :-1]], axis=1)
+    d = d.reshape(-1)[:n]
+    return jax.lax.bitcast_convert_type(d, jnp.float32)
+
+
+def _f32_delta_inv_dev(dc: jax.Array) -> jax.Array:
+    """Device twin of entropy.f32_delta_inv. Item 0 must sit on a restart
+    boundary (decode slices are DPK-tile-aligned; tile_b == DC_RESTART)."""
+    a = jax.lax.bitcast_convert_type(dc, jnp.uint32)
+    n = a.shape[0]
+    R = entropy.DC_RESTART
+    k = -(-n // R)
+    pad = k * R - n
+    m2 = (jnp.pad(a, (0, pad)) if pad else a).reshape(k, R)
+    m = jnp.cumsum(m2, axis=1).reshape(-1)[:n]
+    u = jnp.where((m >> 31) != 0, m & jnp.uint32(0x7FFFFFFF), ~m)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 13))
 def _decode_device_dpk(
     width: jax.Array,
     packed_rows: jax.Array,
@@ -181,6 +211,7 @@ def _decode_device_dpk(
     cw: int,
     sf: jax.Array,
     qtable: jax.Array | None,
+    dcd: bool = False,
 ):
     """Decompression from the device-packed id stream: the raw bin_index
     bytes never exist on the host. On TPU backends with default geometry the
@@ -196,6 +227,8 @@ def _decode_device_dpk(
         dc = _combine_planes(dc)
     if ac_buf.dtype == jnp.uint8:
         ac_buf = _combine_planes(ac_buf)
+    if dcd:  # container.Header.dcd: DC section stores u32 deltas
+        dc = _f32_delta_inv_dev(dc)
     nblk = -(-n // cfg.block_size)
     if (
         dpk_fuse.enabled()
@@ -428,8 +461,13 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             if plane:
                 # ship byte planes instead of f32 streams (same bytes,
                 # host skips its shuffle pass); the qtable patch below
-                # needs ONE dc scalar, fetched separately
-                dcp_d, acp_d = _plane_split2(dc, ac_chunks)
+                # needs ONE dc scalar, fetched separately. The DC stream
+                # delta-codes on device first (header.dcd — the fused path
+                # is f32-only, so this matches _dcd_on's gate)
+                dcp_d, acp_d = _plane_split2(
+                    dc, ac_chunks,
+                    cfg.dc_delta and cfg.container == "v2",
+                )
                 dc_last = (
                     dc[-(-n // cfg.block_size) - 1]
                     if qtable_dev is not None
@@ -501,19 +539,22 @@ def _compress_fused(arr, n, cfg, src_dtype, timer) -> bytes:
             return ct.pack_v1(header, bz, dz, az, qtable)
         header.shuffle = cfg.shuffle
         streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
-            _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+            _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header, dc=True),
             _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
         )
         return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
 
 
-@jax.jit
-def _plane_split2(dc: jax.Array, ac: jax.Array):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _plane_split2(dc: jax.Array, ac: jax.Array, dcd: bool = False):
     """Byte-plane split of the f32 DC/AC streams ON DEVICE: plane k is the
     k-th little-endian byte of each item — exactly entropy.shuffle_bytes'
     layout, so the host-side PLC sections come out byte-identical while
     the host skips its shuffle pass entirely (the decode-side unshuffle is
-    unchanged). XLA fuses this into a cheap VPU epilogue."""
+    unchanged). XLA fuses this into a cheap VPU epilogue.
+
+    dcd: delta-code the DC stream first (_f32_delta_dev; the host packer
+    sets container.Header.dcd via _float_sections_planes)."""
 
     def split(a):
         u = jax.lax.bitcast_convert_type(a, jnp.uint32)
@@ -521,12 +562,32 @@ def _plane_split2(dc: jax.Array, ac: jax.Array):
             [(u >> (8 * k)).astype(jnp.uint8) for k in range(4)]
         )
 
+    if dcd:
+        dc = _f32_delta_dev(dc)
     return split(dc), split(ac)
 
 
-def _float_sections_planes(planes, cfg: CodecConfig, header: ct.Header):
-    """_float_sections for device-split byte planes (u8 arrays)."""
+def _dcd_on(cfg: CodecConfig, header: ct.Header) -> bool:
+    """DC delta coding applies to v2 float32 containers (cfg.dc_delta,
+    default on). f64 containers keep raw DC (the delta is u32-item); v1
+    keeps the reference byte layout (docs/parity.md)."""
+    return (
+        cfg.dc_delta
+        and cfg.container == "v2"
+        and header.dtype == np.float32
+    )
+
+
+def _float_sections_planes(
+    planes, cfg: CodecConfig, header: ct.Header, dc_delta: bool = False
+):
+    """_float_sections for device-split byte planes (u8 arrays).
+
+    dc_delta: the device already delta-coded this (DC) stream before the
+    split (_plane_split2) — just record the flag."""
     header.plc = True
+    if dc_delta:
+        header.dcd = True
     return entropy.encode_float_planes(
         list(planes), cfg.chunk_bytes, cfg.zlib_level,
         use_zlib=not _zstd_on(cfg),
@@ -580,11 +641,13 @@ def _pack_dpk_v2(
 
     if dc_planes is not None:
         f_dc = pool.submit(
-            _float_sections_planes, list(dc_planes), cfg, header
+            _float_sections_planes, list(dc_planes), cfg, header,
+            _dcd_on(cfg, header),
         )
     else:
         f_dc = pool.submit(
-            _float_sections, dc.tobytes(), dc.dtype.itemsize, cfg, header
+            _float_sections, dc.tobytes(), dc.dtype.itemsize, cfg, header,
+            True,
         )
     f_ac = pool.submit(_ac_task)
     streams = _dpk_sections(
@@ -641,12 +704,19 @@ def _ids_streams(ids_bytes: bytes, cfg: CodecConfig, header: ct.Header):
 
 
 def _float_sections(
-    raw: bytes, isz: int, cfg: CodecConfig, header: ct.Header
+    raw: bytes, isz: int, cfg: CodecConfig, header: ct.Header,
+    dc: bool = False,
 ) -> list[bytes]:
     """v2 section chunks for a DC/AC float stream. float_codec="plane" codes
     each byte plane by its cheapest method (raw for near-random mantissa
     planes — skipping deflate entirely is the fast path); "deflate" keeps the
-    whole-stream shuffle+deflate sections."""
+    whole-stream shuffle+deflate sections.
+
+    dc=True: this is the DC section — delta-code it first when _dcd_on
+    (lossless u32 deltas; the decoder inverts on header.dcd)."""
+    if dc and isz == 4 and _dcd_on(cfg, header):
+        raw = entropy.f32_delta(np.frombuffer(raw, np.float32)).tobytes()
+        header.dcd = True
     if cfg.float_codec == "plane":
         header.plc = True
         return entropy.encode_float_stream(
@@ -661,13 +731,20 @@ def _float_sections(
     return entropy.chunked_deflate(raw, cfg.chunk_bytes, cfg.zlib_level)
 
 
-def _decode_float_section(header: ct.Header, chunks) -> bytes:
-    """Inverse of _float_sections (branching on the container flags)."""
+def _decode_float_section(header: ct.Header, chunks, dc: bool = False) -> bytes:
+    """Inverse of _float_sections (branching on the container flags).
+
+    dc=True inverts the DC delta (header.dcd) HOST-side — for the generic
+    XLA decode path. The DPK decode paths keep the deltas through the host
+    stage and invert on DEVICE (_decode_device_dpk dcd=True) instead."""
     if header.plc:
-        return entropy.decode_float_stream(chunks)
-    raw = entropy.chunked_inflate(chunks)
-    if header.shuffle:
-        raw = entropy.unshuffle_bytes(raw, header.stored_dtype.itemsize)
+        raw = entropy.decode_float_stream(chunks)
+    else:
+        raw = entropy.chunked_inflate(chunks)
+        if header.shuffle:
+            raw = entropy.unshuffle_bytes(raw, header.stored_dtype.itemsize)
+    if dc and header.dcd:
+        raw = entropy.f32_delta_inv(np.frombuffer(raw, np.float32)).tobytes()
     return raw
 
 
@@ -1167,6 +1244,7 @@ def _decompress_dpk(header: ct.Header, streams, qtable, timer) -> np.ndarray:
                 cw,
                 sf,
                 qt,
+                header.dcd,
             )
         if timer.sync:
             float(x.ravel()[0])  # force completion (see CLAUDE.md: block_
@@ -1201,6 +1279,8 @@ def _decompress_dpk_sharded(header: ct.Header, streams, qtable, mesh) -> np.ndar
 
     stored, cfg = _stored_dtype(header, len(dc_raw), nblk, cfg)
     dc = np.frombuffer(dc_raw, dtype=stored, count=nblk)
+    if header.dcd:  # the sharded decode body takes DC values, not deltas
+        dc = entropy.f32_delta_inv(dc)
     ac = np.frombuffer(ac_raw, dtype=stored, count=header.ac_count)
 
     # chunked AC rows straight from the stored per-chunk counts (no id
@@ -1377,7 +1457,7 @@ def _decompress_dpk_range(
         else:
             x = _decode_device_dpk(
                 *dev, n_loc, _device_cfg(cfg), work, "chunked", tile_b, cw,
-                sf, qt,
+                sf, qt, header.dcd,
             )
     out = np.asarray(jax.device_get(x), dtype=out_dtype)
     n_hi = min(t1 * tile_b * bs, header.num_elements)
@@ -1408,7 +1488,7 @@ def _inflate_v2_streams(header: ct.Header, streams) -> tuple[bytes, bytes, bytes
     else:
         (bz, dz, az) = streams
         bindex = entropy.chunked_inflate(bz)
-    dc_raw = _decode_float_section(header, dz)
+    dc_raw = _decode_float_section(header, dz, dc=True)
     ac_raw = _decode_float_section(header, az)
     return bindex, dc_raw, ac_raw
 
@@ -1873,7 +1953,7 @@ def compress(
                 cfg,
                 header,
             ) + (
-                _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+                _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header, dc=True),
                 _float_sections(ac.tobytes(), ac.dtype.itemsize, cfg, header),
             )
             return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
@@ -1892,7 +1972,7 @@ def compress(
 
         header.shuffle = cfg.shuffle
         streams = _ids_streams(flat_ids.tobytes(), cfg, header) + (
-            _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+            _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header, dc=True),
             _float_sections(ac.tobytes(), np.asarray(ac).dtype.itemsize, cfg, header),
         )
         return ct.pack_v2(header, streams, qtable, cfg.chunk_bytes)
@@ -2143,7 +2223,7 @@ def compress_sharded(
     )
     header.shuffle = cfg.shuffle
     dc_ac_z = (
-        _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header),
+        _float_sections(dc.tobytes(), dc.dtype.itemsize, cfg, header, dc=True),
         _float_sections(
             np.asarray(ac).tobytes(), np.asarray(ac).dtype.itemsize, cfg, header
         ),

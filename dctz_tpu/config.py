@@ -120,6 +120,16 @@ class CodecConfig:
     ids4: bool = True
     ids_codec: Literal["auto", "deflate", "rans", "device"] = "auto"
     float_codec: Literal["plane", "deflate"] = "plane"
+    #: delta-code the DC stream of v2 float32 containers before the section
+    #: codec (order-preserving u32 deltas, restart every 256 blocks —
+    #: entropy.f32_delta; exactly lossless, flagged in the header,
+    #: Header.dcd, older containers decode unchanged). Default OFF: a
+    #: round-5 MEASURED negative — under the per-plane codec the raw DC
+    #: planes already carry long-range structure zstd exploits, and
+    #: delta/xor prediction moved every measured workload by at most
+    #: -2%..+2% (only brown noise gained 6-9%; docs/benchmarks.md).
+    #: The reference deflates DC raw (dctz-comp-lib.c:669-703).
+    dc_delta: bool = False
     dpk_host_codec: Literal["none", "deflate", "rans", "zstd"] = "none"
     host_codec: Literal["auto", "zlib"] = "auto"
     chunk_bytes: int = 1 << 20

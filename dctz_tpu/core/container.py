@@ -80,6 +80,12 @@ class Header:
     plc: bool = False  # v2: DC/AC sections per-plane coded (entropy.encode_float_stream)
     zst: bool = False  # v2: side sections (ids4 exc / DPK width, exc, meta) chunk-zstd
     dpks: bool = False  # v2: DPK packed section host-zstd-coded (fast ratio mode)
+    #: v2: DC section stores order-preserving-u32 DELTAS of the block DC
+    #: values (restart every entropy.DC_RESTART blocks) — neighboring
+    #: blocks' DCs are strongly correlated on smooth fields, so the delta
+    #: planes compress far better (the reference deflates DC raw,
+    #: dctz-comp-lib.c:669-703). Lossless: exact u32 arithmetic both ways.
+    dcd: bool = False
     #: bin-range scaling factor (reference compile-time BRSF, dctz.h:29).
     #: v2 records it in the reserved byte (0 = 1.0, else 2**((code-128)/8))
     #: — without it a brsf != 1 container would silently decode with the
@@ -227,6 +233,8 @@ _FLAG_ZST = 1 << 10
 # the DPK packed section host-zstd-coded (the zstd ratio mode, strictly
 # dominating dpkz/dpkr on measured streams: docs/benchmarks.md)
 _FLAG_DPKS = 1 << 11
+# DC section delta-coded (Header.dcd)
+_FLAG_DCD = 1 << 12
 
 
 
@@ -292,6 +300,8 @@ def pack_v2(
         flags |= _FLAG_ZST
     if header.dpks:
         flags |= _FLAG_DPKS
+    if header.dcd:
+        flags |= _FLAG_DCD
     fixed = struct.pack(
         _V2_FIXED_FMT,
         V2_MAGIC,
@@ -461,6 +471,7 @@ def parse_v2(
         plc=bool(flags & _FLAG_PLC),
         zst=bool(flags & _FLAG_ZST),
         dpks=bool(flags & _FLAG_DPKS),
+        dcd=bool(flags & _FLAG_DCD),
         brsf=brsf_of_code(_res),
     )
     return header, tuple(streams), qtable, chunk_bytes

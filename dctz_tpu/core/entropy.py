@@ -168,6 +168,56 @@ def resolve_crcs(chunks) -> list[int] | None:
     ]
 
 
+#: DC-delta restart interval in items (= one DPK tile of blocks): every
+#: DC_RESTART-th value stores the absolute mapped u32, so tile-aligned
+#: range decodes (multi-host monolithic slices) invert locally.
+DC_RESTART = 256
+
+_U32_SIGN = None  # lazy numpy constants (numpy import is deferred here)
+
+
+def f32_delta(dc) -> "np.ndarray":
+    """Order-preserving-u32 delta of a float32 stream (container.Header.dcd).
+
+    Each value maps to the standard monotone u32 code (negative floats
+    bit-inverted, positives get the sign bit set) and stores its wrapping
+    difference from the previous item; restarts every DC_RESTART. Returns
+    a float32-VIEWED array of the same length (a bit container — the
+    section codecs below see plain f32 bytes). Exactly inverted by
+    f32_delta_inv."""
+    import numpy as np
+
+    a = np.ascontiguousarray(dc, np.float32)
+    u = a.view(np.uint32)
+    m = np.where(
+        (u >> 31) != 0, ~u, u | np.uint32(0x80000000)
+    ).astype(np.uint32)
+    d = m.copy()
+    d[1:] -= m[:-1]
+    d[:: DC_RESTART] = m[:: DC_RESTART]
+    return d.view(np.float32)
+
+
+def f32_delta_inv(d) -> "np.ndarray":
+    """Inverse of f32_delta. The input's item 0 must sit on a restart
+    boundary of the original stream (all decode paths slice at DPK-tile
+    multiples of DC_RESTART blocks)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(d, np.float32).view(np.uint32)
+    n = a.size
+    k = -(-n // DC_RESTART)
+    pad = k * DC_RESTART - n
+    m2 = np.concatenate([a, np.zeros(pad, np.uint32)]) if pad else a
+    m = np.cumsum(
+        m2.reshape(k, DC_RESTART), axis=1, dtype=np.uint32
+    ).reshape(-1)[:n]
+    u = np.where(
+        (m >> 31) != 0, m & np.uint32(0x7FFFFFFF), ~m
+    ).astype(np.uint32)
+    return u.view(np.float32)
+
+
 def verify_chunk_range(chunks, k0: int = 0, k1: int | None = None) -> None:
     """Verify chunks[k0:k1] against parse-attached expected crc32s
     (ChunkList.expected_crcs, from container.parse_v2(chunk_crcs="defer")).

@@ -97,7 +97,7 @@ def _dg(a, b, contract, precision=None):
     )
 
 
-def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
+def _make_kernel(cw: int, cape: int, capc: int, qt: bool, tps: int = 1):
     g = cw // BS  # blocks per chunk row
     cpt = TILE_N // cw  # chunk rows per tile
     g128 = cw // 128
@@ -111,11 +111,14 @@ def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
         rmax = geom_ref[2]
         denom = geom_ref[3]
 
-        # ---- 1. unpack candidates (tile-major (64, 256)) ----
-        byf = _bf16(packed_ref[:].astype(jnp.int32))  # (64, 128)
+        # ---- 1. unpack candidates (tile-major (64*tps, 256)) ----
+        # the byte-gather matmuls and shift/mask math are row-wise, so tps
+        # stacked tiles batch through them unchanged (supertiling — see
+        # _pack_tile; the decode twin of the encode's round-5 change)
+        byf = _bf16(packed_ref[:].astype(jnp.int32))  # (64*tps, 128)
         i128 = jax.lax.broadcasted_iota(jnp.int32, (128, TILE_B), 0)
         k256 = jax.lax.broadcasted_iota(jnp.int32, (128, TILE_B), 1)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (BS, TILE_B), 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (BS * tps, TILE_B), 1)
 
         def gsel(sel):
             return _dg(byf, _bf16(sel), ((1,), (0,))).astype(jnp.int32)
@@ -128,32 +131,59 @@ def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
         s3 = (3 * kk) % 8
         v3 = ((a3 >> s3) | (b3 << (8 - s3))) & 7
 
-        # per-row width: diagonal of the broadcast (no (64,1) transpose op)
-        w_row = w_ref[0:1, :].astype(jnp.int32)  # (1, 64)
+        # per-row width: diagonal of the broadcast (no (64,1) transpose
+        # op), per tile — the width row block is (8*tps, 64)
         eye_i = (
             jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
         )
-        wt = jnp.sum(
-            jnp.broadcast_to(w_row, (BS, BS)) * eye_i.astype(jnp.int32),
-            axis=1,
-            keepdims=True,
-        )  # (64, 1)
+        w_rows = [
+            w_ref[8 * p : 8 * p + 1, :].astype(jnp.int32) for p in range(tps)
+        ]
+        wt = jnp.concatenate(
+            [
+                jnp.sum(
+                    jnp.broadcast_to(w, (BS, BS)) * eye_i.astype(jnp.int32),
+                    axis=1,
+                    keepdims=True,
+                )
+                for w in w_rows
+            ],
+            axis=0,
+        )  # (64*tps, 1)
         nib_tm = jnp.where(wt == 1, v1, jnp.zeros_like(v1))
         nib_tm = jnp.where(wt == 2, v2, nib_tm)
         nib_tm = jnp.where(wt == 3, v3, nib_tm)
         nib_tm = jnp.where(wt == 4, v4, nib_tm)
 
-        # ---- 2. transpose to block-major, regroup to (cpt, cw) ----
-        p = _dg(_bf16(nib_tm), _bf16(eye_i), ((0,), (0,)))  # (256, 64)
-        scr[:] = p.astype(jnp.int32)
+        # ---- 2. transpose to block-major, regroup to (cpt*tps, cw) ----
+        eye_b = _bf16(eye_i)
+        for p in range(tps):
+            tp = _dg(
+                _bf16(nib_tm[BS * p : BS * (p + 1)]), eye_b, ((0,), (0,))
+            )  # (256, 64)
+            scr[TILE_B * p : TILE_B * (p + 1)] = tp.astype(jnp.int32)
         nib3 = jnp.concatenate(
             [scr[i::g, :] for i in range(g)], axis=1
-        )  # (cpt, cw)
+        )  # (cpt*tps, cw) — tile-major rows (TILE_B % g == 0)
 
-        thr = jnp.where(w_row > 0, (1 << w_row) - 1, jnp.int32(_BIG))  # (1, 64)
-        thr3 = jnp.broadcast_to(
-            jnp.concatenate([thr] * g, axis=1), (cpt, cw)
+        thr3 = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.concatenate(
+                        [
+                            jnp.where(
+                                w > 0, (1 << w) - 1, jnp.int32(_BIG)
+                            )
+                        ]
+                        * g,
+                        axis=1,
+                    ),
+                    (cpt, cw),
+                )
+                for w in w_rows
+            ],
+            axis=0,
         )
         mask3 = nib3 == thr3
 
@@ -162,12 +192,12 @@ def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
         # both streams are in positional order — so first expand the AC
         # values into the EXCEPTION-stream domain (width cape << cw), then
         # run ONE routing network carrying both payloads.
-        exc_i = exc_ref[:].astype(jnp.int32)  # (cpt, cape)
+        exc_i = exc_ref[:].astype(jnp.int32)  # (cpt*tps, cape)
         colc = jax.lax.broadcasted_iota(jnp.int32, exc_i.shape, 1)
         esc_in_exc = (exc_i == C.ESCAPE).astype(jnp.int32)
         acx = shuffle.route_expand(esc_in_exc, ac_ref[:], colc)
 
-        col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt, cw), 1)
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (cpt * tps, cw), 1)
         # exception bytes ride the control word's low 8 bits (one fewer
         # roll per stage); only the f32 AC payload rolls separately
         exc3, ac3 = shuffle.route_expand(
@@ -181,7 +211,7 @@ def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
             # invert the renormalization (quantize.decode:327-339, f32 path)
             side = jnp.where(ac3 > 0, rmax, rmin)
             qrow3 = jnp.broadcast_to(
-                jnp.concatenate([qt_ref[:]] * g, axis=1), (cpt, cw)
+                jnp.concatenate([qt_ref[:]] * g, axis=1), (cpt * tps, cw)
             )
             ac3 = ((ac3 - side) / denom) * qrow3
 
@@ -196,19 +226,27 @@ def _make_kernel(cw: int, cape: int, capc: int, qt: bool):
         e_dc = (qdc == BS * idc).astype(jnp.float32)
         dcx = _dg(
             dc_ref[:], e_dc, ((1,), (0,)), jax.lax.Precision.HIGHEST
-        )  # (cpt, cw), exact one-hot placement
+        )  # (cpt*tps, cw), exact one-hot placement
         co = jnp.where(dcpos, dcx, co)
 
-        # interleave chunk rows -> coefficient rows (128, 128)
-        stacked = jnp.concatenate(
-            [co[:, 128 * k : 128 * (k + 1)] for k in range(g128)], axis=0
-        )
+        # interleave chunk rows -> coefficient rows, per tile; the IDCT
+        # runs ONCE over the stacked (128*tps, 128) coefficients
         rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         qq = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         r_sel = (
             (qq % cpt == rr // g128) & (qq // cpt == rr % g128)
         ).astype(jnp.float32)
-        c2 = _dg(r_sel, stacked, ((1,), (0,)), jax.lax.Precision.HIGHEST)
+        c2s = []
+        for p in range(tps):
+            cop = co[cpt * p : cpt * (p + 1)]
+            stacked = jnp.concatenate(
+                [cop[:, 128 * k : 128 * (k + 1)] for k in range(g128)],
+                axis=0,
+            )
+            c2s.append(
+                _dg(r_sel, stacked, ((1,), (0,)), jax.lax.Precision.HIGHEST)
+            )
+        c2 = c2s[0] if tps == 1 else jnp.concatenate(c2s, axis=0)
         # the SAME block-diagonal HIGHEST matmul as transform.block_idct_flat
         x = jnp.dot(
             c2,
@@ -909,9 +947,11 @@ def decode_fused(
     cw: int,
     qtable: jax.Array | None,
 ) -> jax.Array:
-    """Fused decode of a DPK container -> flat (T*16384,) float32 samples
-    (the caller slices to the true n). Inputs are the same device arrays
-    _decode_device_dpk receives; chunk/tile padding happens here."""
+    """Fused decode of a DPK container -> flat (T_pad*16384,) float32
+    samples (the caller slices to the true n). Inputs are the same device
+    arrays _decode_device_dpk receives; chunk/tile/supertile padding
+    happens here (TPS tiles per grid step, the decode twin of the encode's
+    supertiling — zero-padded tiles decode to zero blocks and slice off)."""
     from ..core.quantize import _geometry
     from ..core.transform import _blockdiag_np
     import numpy as np
@@ -920,12 +960,18 @@ def decode_fused(
     assert bs == BS
     g = cw // BS
     cpt = TILE_N // cw
-    nc_pad = t * cpt
+    tps = min(TPS, t)
+    t_pad = -(-t // tps) * tps
+    steps = t_pad // tps
+    nc_pad = t_pad * cpt
 
     nc, cape = exc_rows.shape
     capc = ac_rows.shape[1]
     cape_k = min(cw, _ceil_lanes(cape))
     capc_k = min(cw, _ceil_lanes(capc))
+    if t_pad != t:
+        width = jnp.pad(width, ((0, t_pad - t), (0, 0)))
+        packed = jnp.pad(packed, ((0, (t_pad - t) * BS), (0, 0)))
     exc = jnp.pad(
         exc_rows, ((0, nc_pad - nc), (0, cape_k - cape))
     )
@@ -933,7 +979,7 @@ def decode_fused(
         ac_rows.astype(jnp.float32),
         ((0, nc_pad - ac_rows.shape[0]), (0, capc_k - capc)),
     )
-    dc3 = jnp.pad(dc.astype(jnp.float32), (0, t * TILE_B - dc.shape[0]))
+    dc3 = jnp.pad(dc.astype(jnp.float32), (0, t_pad * TILE_B - dc.shape[0]))
     dc3 = dc3.reshape(nc_pad, g)
 
     w_bin, rmin, rmax = _geometry(cfg, np.dtype(np.float32))
@@ -950,7 +996,7 @@ def decode_fused(
     sf1 = sf.reshape(1).astype(jnp.float32)
 
     qt = qtable is not None
-    kernel = _make_kernel(cw, cape_k, capc_k, qt)
+    kernel = _make_kernel(cw, cape_k, capc_k, qt, tps)
 
     # Pallas requires block sublanes divisible by 8: replicate the per-tile
     # width row to 8 sublanes (tiny) instead of a (1, 64) block.
@@ -959,15 +1005,21 @@ def decode_fused(
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((8, BS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (cpt, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (8 * tps, BS), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (cpt, capc_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (BS * tps, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec((cpt, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (cpt * tps, cape_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (cpt * tps, capc_k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (cpt * tps, g), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         pl.BlockSpec(
             (128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
@@ -981,13 +1033,13 @@ def decode_fused(
 
     x2 = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (128, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (128 * tps, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t * 128, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TILE_B, BS), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((t_pad * 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_B * tps, BS), jnp.int32)],
         interpret=_INTERPRET,
     )(*args)
     return x2.reshape(-1)

@@ -389,7 +389,10 @@ def _encode_segment_dpk(
         else None
     )
     planes = (
-        _plane_split2(outs[6], outs[4])
+        _plane_split2(
+            outs[6], outs[4],
+            host_cfg.dc_delta and host_cfg.container == "v2",
+        )
         if _plane_mode(host_cfg, outs[6])
         else None
     )
@@ -493,6 +496,11 @@ def _pack_segment(
     )
     flat_ids = bin_ids.reshape(-1)[:n]
     header.shuffle = cfg.shuffle
+    if cfg.dc_delta and dtype == np.float32 and dc.dtype == np.float32:
+        # same DC delta as the monolithic v2 paths (api._dcd_on); frames
+        # restart at their own item 0, so each decodes independently
+        dc = entropy.f32_delta(dc)
+        header.dcd = True
     dcb, acb = dc.tobytes(), ac.tobytes()
     if cfg.shuffle:
         dcb = entropy.shuffle_bytes(dcb, dc.dtype.itemsize)
@@ -593,7 +601,7 @@ def _decode_frames(f, trace: list | None = None) -> Iterator[np.ndarray]:
             with api._f32_device_trace(work):
                 x = api._decode_device_dpk(
                     *dev, n_stream, api._device_cfg(cfg), work, ac_layout,
-                    tile_b, cw, sf, qt,
+                    tile_b, cw, sf, qt, header.dcd,
                 )
             return np.asarray(jax.device_get(x), dtype=header.dtype)[:n]
 

@@ -47,6 +47,13 @@ CONFIGS = {
     "golden_v2_qt_f32_dpk": dict(
         mode="qt", container="v2", chunk_bytes=2048, ids_codec="device"
     ),
+    # the DC-delta state (Header.dcd) — opt-in (cfg.dc_delta; measured a
+    # wash on the available workloads, docs/benchmarks.md) but both flag
+    # states stay golden-pinned
+    "golden_v2_ec_f32_dpk_dcd": dict(
+        mode="ec", container="v2", chunk_bytes=2048, ids_codec="device",
+        dc_delta=True,
+    ),
 }
 
 

@@ -63,6 +63,13 @@ def test_decode_golden_container(name):
             "golden_v2_qt_f32_dpk",
             dict(mode="qt", container="v2", chunk_bytes=2048, ids_codec="device"),
         ),
+        (
+            "golden_v2_ec_f32_dpk_dcd",
+            dict(
+                mode="ec", container="v2", chunk_bytes=2048,
+                ids_codec="device", dc_delta=True,
+            ),
+        ),
     ],
 )
 def test_reencode_matches_golden(name, cfgkw):

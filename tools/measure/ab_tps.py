@@ -106,6 +106,53 @@ def main():
                 print(f"tps={tps} verify={verify}: FAILED {type(e).__name__}:"
                       f" {str(e)[:200]}", flush=True)
 
+    # decode at each tps, on the real container's device inputs
+    from dctz_tpu.config import CodecConfig
+    import numpy as np
+
+    sf, _ = api._stats_device(x, n, 1)
+    from dctz_tpu.ops.repair import _SLACK as _S2
+
+    tol = (jnp.max(x) - jnp.min(x)) * jnp.float32(EB) * _S2
+    dpk_fuse.TPS = 1
+    (width, packed, exc_rows, exc_counts, ac_rows, ac_counts, dc,
+     _ovf, _ok) = dpk_fuse.encode_x_fused(x, sf, tol, n, EB, cape, cw, False)
+    peak_e = int(jnp.max(exc_counts))
+    peak_a = int(jnp.max(ac_counts))
+    tiers = [t for t in (32, 64, 128) if t < cw] + [cw]
+    exc_p = exc_rows[:, : next(t for t in tiers if t >= min(peak_e, cw))]
+    ac_p = ac_rows[:, : next(t for t in tiers if t >= min(peak_a, cw))]
+    cfg = CodecConfig(mode="ec", error_bound=EB)
+    y_ref = None
+    for tps in (1, 2, 4, 8):
+        dpk_fuse.TPS = tps
+
+        def call_d(eps, width, packed, exc_p, ac_p, dc):
+            y = dpk_fuse.decode_fused(
+                width, packed, exc_p, ac_p + eps, dc, sf + eps, cfg, cw,
+                None,
+            )
+            return y.ravel()[0].astype(jnp.float32)
+
+        try:
+            s = _amortized_s(call_d, width, packed, exc_p, ac_p, dc)
+            y = dpk_fuse.decode_fused(
+                width, packed, exc_p, ac_p, dc, sf, cfg, cw, None
+            )[:n]
+            if y_ref is None:
+                y_ref = np.asarray(jax.device_get(y))
+                same = True
+            else:
+                same = bool(np.array_equal(np.asarray(jax.device_get(y)), y_ref))
+            print(
+                f"tps={tps} decode: {s*1e3:.2f} ms {gb/s:.1f} GB/s "
+                f"bitexact_vs_tps1={same}",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"tps={tps} decode: FAILED {type(e).__name__}:"
+                  f" {str(e)[:200]}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -119,7 +119,7 @@ def main():
         y = api._decode_device_dpk(
             dev[0], dev[1], dev[2], dev[3] + eps, dev[4],
             n_stream, dcfg2, "float32", ac_layout, tile_b, cw,
-            sfv + eps, None,
+            sfv + eps, None, header.dcd,
         )
         return y.ravel()[0].astype(jnp.float32)
 

@@ -24,12 +24,13 @@ single per-stage sync would roughly double the device numbers):
     stages AND a MEASURED overlap fraction f: 2*bytes / (wall_c + wall_d)
     with wall = max(dev, host) + (1-f)*min(dev, host) + f*min/S. f comes
     from per-segment wall timestamps of a real pipelined run on this chip
-    (measure_pipeline_overlap; stream.py `trace`) — the share of host-
-    stage time that ran while a device-stage interval was in flight
-    (f=1 -> ideal pipeline, f=0 -> serial; round-4 assumed f=1). The
-    strictly-serial monolithic sum is reported alongside as
-    serial_sum_gbps; the raw single-sync public-API number (one tunnel
-    round trip per device stage) as end_to_end_with_tunnel_latency_gbps.
+    (measure_pipeline_overlap; stream.py `trace`): f = (worker_busy +
+    device_busy - wall) / min(worker_busy, device_busy) — how much of the
+    shorter stage genuinely hid behind the longer one in that run (f=1 ->
+    ideal pipeline, f=0 -> serial; round-4 ASSUMED f=1). The strictly-
+    serial monolithic sum is reported alongside as serial_sum_gbps; the
+    raw single-sync public-API number (one tunnel round trip per device
+    stage) as end_to_end_with_tunnel_latency_gbps.
   * The tunnel moves host<->device data at ~0.02 GB/s — three orders of
     magnitude below production PCIe/DMA — so the StageTimer "transfer"
     stage is excluded from the headline and reported separately. Input is
@@ -249,53 +250,68 @@ def amortized_device_decode_s(blob) -> float:
     return _amortized_s(call, *dev)
 
 
-def _interval_overlap(tr, host_kinds, dev_kind="device"):
-    """(fraction of host-stage wall time inside a device interval,
-    host busy s, device busy s) from a stream trace's timestamps."""
-    host = [(a, b) for k, _s, a, b in tr if k in host_kinds]
-    dev = [(a, b) for k, _s, a, b in tr if k == dev_kind]
-    hb = sum(b - a for a, b in host)
-    db = sum(b - a for a, b in dev)
-    ov = sum(
-        max(0.0, min(b, d) - max(a, c)) for a, b in host for c, d in dev
-    )
-    return (ov / hb if hb else 0.0), hb, db
+def _interval_overlap(tr, worker_kinds, dev_kind="device"):
+    """Measured overlap fraction of a two-stage pipeline from its trace:
+    (serial_sum - traced_span) / min(worker_busy, device_busy), clipped
+    to [0,1] — 1 = every second of the shorter stage hid behind the
+    longer one, 0 = strictly serial. traced_span = last event end - first
+    event start, so untraced setup (the global stats pass, frame writes)
+    does not dilute the fraction. (Interval pairing is fragile when the
+    tunnel serializes transfers between the threads — measured round 5:
+    pull(k) runs concurrently with device(k+1), each ~400 ms, span 1.8 s
+    vs 3.1 s serial.) Returns (fraction, worker_busy_s, device_busy_s)."""
+    if not tr:
+        return 0.0, 0.0, 0.0
+    wb = sum(b - a for k, _s, a, b in tr if k in worker_kinds)
+    db = sum(b - a for k, _s, a, b in tr if k == dev_kind)
+    span = max(b for _k, _s, _a, b in tr) - min(a for _k, _s, a, _b in tr)
+    denom = min(wb, db)
+    if denom <= 0:
+        return 0.0, wb, db
+    f = (wb + db - span) / denom
+    return max(0.0, min(1.0, f)), wb, db
 
 
 def measure_pipeline_overlap(x) -> dict:
     """MEASURE the two-stage pipeline's overlap on the chip (VERDICT
     round-4 #2): one real pipelined compress + restore with per-segment
     wall timestamps (stream.compress_stream / _decode_frames `trace`),
-    then the fraction of each direction's HOST-stage time that ran while
-    a DEVICE-stage interval was in flight. On this attachment the device
-    intervals include the tunnel's transfer stalls (reported alongside);
-    the fractions are wall-clock facts of this run, not assumptions."""
+    then per direction f = (worker_busy + device_busy - wall) /
+    min(worker_busy, device_busy) — the fraction of the shorter stage
+    that genuinely hid behind the longer one in THIS run. On this
+    attachment the worker intervals are transfer-dominated (pull =
+    device_get over the tunnel, reported alongside); the fractions are
+    wall-clock facts of this run, not assumptions."""
     import io
 
     from dctz_tpu import stream as dstream
 
     se = N // 4  # 4 segments: more interval pairs than the default 2
-    tr_c: list = []
-    buf = io.BytesIO()
-    t0 = time.perf_counter()
-    dstream.compress_stream(x, buf, config=CFG, segment_elems=se, trace=tr_c)
-    wall_c = time.perf_counter() - t0
-    tr_d: list = []
-    t0 = time.perf_counter()
-    y = dstream.decompress_stream_all(
-        dstream.MemReader(buf.getvalue()), trace=tr_d
-    )
-    wall_d = time.perf_counter() - t0
-    assert y.size == N
-    f_c, hb_c, db_c = _interval_overlap(tr_c, ("pack",))
+    wall_c = wall_d = 0.0
+    for _warm in range(2):  # 2nd run: compiles/cache loads out of the trace
+        tr_c: list = []
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        dstream.compress_stream(
+            x, buf, config=CFG, segment_elems=se, trace=tr_c
+        )
+        wall_c = time.perf_counter() - t0
+        tr_d: list = []
+        t0 = time.perf_counter()
+        y = dstream.decompress_stream_all(
+            dstream.MemReader(buf.getvalue()), trace=tr_d
+        )
+        wall_d = time.perf_counter() - t0
+        assert y.size == N
+    f_c, hb_c, db_c = _interval_overlap(tr_c, ("pull", "pack"))
     f_d, hb_d, db_d = _interval_overlap(tr_d, ("prep",))
     return {
         "compress_frac": round(f_c, 3),
         "decompress_frac": round(f_d, 3),
-        "compress_host_busy_s": round(hb_c, 3),
+        "compress_worker_busy_s": round(hb_c, 3),
         "compress_device_busy_s": round(db_c, 3),
         "compress_wall_s": round(wall_c, 3),
-        "decompress_host_busy_s": round(hb_d, 3),
+        "decompress_worker_busy_s": round(hb_d, 3),
         "decompress_device_busy_s": round(db_d, 3),
         "decompress_wall_s": round(wall_d, 3),
         "segments": 4,
@@ -327,23 +343,27 @@ def measure_pipeline_1gb(dev_rate_s_per_seg: float) -> dict:
     wall = time.perf_counter() - t0
     del x
     nbytes = buf.getbuffer().nbytes
-    f, hb, db = _interval_overlap(tr, ("pack",))
+    f, hb, db = _interval_overlap(tr, ("pull", "pack"))
     pulls = sum(b - a for k, _s, a, b in tr if k == "pull")
+    packs = sum(b - a for k, _s, a, b in tr if k == "pack")
     S = sum(1 for e in tr if e[0] == "device")
     gb = n2 * 4 / 1e9
     dev_s = dev_rate_s_per_seg * S
-    host_per_seg = hb / max(S, 1)
+    # steady state from the production-relevant stages: device compute +
+    # pure host packing (the pulls are tunnel transfer, excluded as in
+    # the headline), scaled by the overlap fraction THIS run achieved
     pipe = (
-        max(dev_s, hb)
-        + (1.0 - f) * min(dev_s, hb)
-        + f * min(dev_s, hb) / max(S, 1)
+        max(dev_s, packs)
+        + (1.0 - f) * min(dev_s, packs)
+        + f * min(dev_s, packs) / max(S, 1)
     )
     return {
         "segments": S,
         "ratio": round(gb * 1e9 / nbytes, 3),
         "wall_s": round(wall, 3),
-        "host_pack_s_total": round(hb, 4),
-        "host_pack_ms_per_segment": round(host_per_seg * 1e3, 2),
+        "host_pack_s_total": round(packs, 4),
+        "host_pack_ms_per_segment": round(packs / max(S, 1) * 1e3, 2),
+        "worker_busy_s_total": round(hb, 4),
         "tunnel_pull_s": round(pulls, 3),
         "overlap_frac": round(f, 3),
         "steady_state_gbps": round(gb / pipe, 3),

@@ -44,12 +44,14 @@ from . import shuffle
 BS = 64  # DCT block size
 TILE_B = 256  # blocks per DPK tile (idpack.B_DEFAULT)
 TILE_N = TILE_B * BS  # elements per tile
-#: format tiles per ENCODE grid step (supertiling, round 5): the per-step
-#: fixed cost is ~166 ns on v5e and separate tiles' dependent roll chains
-#: interleave, so fewer/fatter steps are measurably faster — streams stay
-#: bit-identical at every value (tests A/B tps). Tuned on chip
-#: (tools/measure/ab_tps.py).
-TPS = 4
+#: format tiles per grid step in BOTH fused kernels (supertiling, round
+#: 5): the per-step fixed cost is ~166 ns on v5e and separate tiles'
+#: dependent roll chains interleave, so fewer/fatter steps are measurably
+#: faster — streams stay bit-identical at every value (tests A/B tps).
+#: Tuned on chip (tools/measure/ab_tps.py): verified encode 6.80 (tps=1)
+#: -> 4.31 (4) -> 4.16 ms/128 MB (8); decode 5.95 -> 3.63 -> 3.46. EC and
+#: QT verified round trips hardware-validated at 8.
+TPS = 8
 _BIG = 1 << 20  # python int: a jnp scalar here would be a captured constant
 
 # Test hooks (cf. ops/shuffle.py)
@@ -304,16 +306,21 @@ def _pack_tile(nib_tm, idsc, vals3, cw, cape_k, capc_k,
 
     # width selection per position row (cost = w*B + 8*#exceptions,
     # first-minimal wins like jnp.argmin — idpack.pack_ids); rows of
-    # stacked tiles batch through the same row-wise reductions
-    maxv = jnp.max(nib_tm, axis=1, keepdims=True)  # (64*tps, 1)
-    best = jnp.where(maxv == 0, 0, _INF)
+    # stacked tiles batch through the same row-wise reductions.
+    # The four threshold counts pack into TWO 16-bit-field sums (counts
+    # <= TILE_B = 256 < 2^16, exact in i32) — 2 row reductions instead of
+    # 5 (the max is redundant: all-zero row <=> count(>=1) == 0).
+    ge1 = (nib_tm >= 1).astype(jnp.int32)
+    ge3 = (nib_tm >= 3).astype(jnp.int32)
+    ge7 = (nib_tm >= 7).astype(jnp.int32)
+    ge15 = (nib_tm >= 15).astype(jnp.int32)
+    sa = jnp.sum(ge1 | (ge7 << 16), axis=1, keepdims=True)
+    sb = jnp.sum(ge3 | (ge15 << 16), axis=1, keepdims=True)
+    cnts = {1: sa & 0xFFFF, 3: sb & 0xFFFF, 7: sa >> 16, 15: sb >> 16}
+    best = jnp.where(cnts[1] == 0, 0, _INF)
     width = jnp.zeros_like(best)
     for wb in (1, 2, 3, 4):
-        thr = (1 << wb) - 1
-        cnt = jnp.sum(
-            (nib_tm >= thr).astype(jnp.int32), axis=1, keepdims=True
-        )
-        cost = wb * TILE_B + 8 * cnt
+        cost = wb * TILE_B + 8 * cnts[(1 << wb) - 1]
         take = cost < best
         width = jnp.where(take, wb, width)
         best = jnp.minimum(cost, best)

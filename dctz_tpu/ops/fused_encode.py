@@ -251,9 +251,13 @@ def qtable_qmax(
     qtf = 10.0 if C.NBINS == 255 else 2000.0
     geom = jnp.asarray([-rmax, rmax, w, error_bound, qtf], jnp.float32)
     bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
+    # the segment pipeline pairs this pass with dpk_fuse.encode_x_fused —
+    # inherit its interpret hook so forced-CPU CI runs both interpreted
+    from . import dpk_fuse as _df
+
     return _qtable_pass(
         x.reshape(rows, LANES), sf.reshape(1).astype(jnp.float32), geom,
-        bd, tile_r, grid, False, dct_precision == "high",
+        bd, tile_r, grid, _df._INTERPRET, dct_precision == "high",
     )
 
 
@@ -519,9 +523,11 @@ def fused_encode_pipeline_dpk_qt_v2(
     geom = jnp.asarray([-rmax, rmax, w, error_bound, qtf], jnp.float32)
     bd = jnp.asarray(_blockdiag_np(BS, LANES // BS, True), jnp.float32)
     sf1 = sf.reshape(1).astype(jnp.float32)
+    # interpret follows the x-kernel's hook (dpk_fuse._INTERPRET): this
+    # pass always precedes dpk_fuse.encode_x_fused in the same dispatch
     qtable = _qtable_pass(
-        x.reshape(rows, LANES), sf1, geom, bd, tile_r, grid, False,
-        dct_precision == "high",
+        x.reshape(rows, LANES), sf1, geom, bd, tile_r, grid,
+        dpk_fuse._INTERPRET, dct_precision == "high",
     )
 
     cw = chunk_width(n_pad, BS)

@@ -408,9 +408,17 @@ def bench_jax() -> dict:
     host_c = sum(v for k, v in ct_last.stages.items() if k == "zlib")
     host_d = dt_last.stages.get("host", 0.0)
 
-    ovl = measure_pipeline_overlap(x)
-    seg_frac = _stream_seg_frac()
-    big = measure_pipeline_1gb(dev_c * seg_frac)
+    # the overlap/1 GB probes must never take down the driver capture —
+    # degrade to f=0 (serial headline) with the failure recorded
+    try:
+        ovl = measure_pipeline_overlap(x)
+    except Exception as e:  # pragma: no cover - tunnel flakiness
+        ovl = {"compress_frac": 0.0, "decompress_frac": 0.0,
+               "error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        big = measure_pipeline_1gb(dev_c * _stream_seg_frac())
+    except Exception as e:  # pragma: no cover - tunnel flakiness
+        big = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     gb = N * 4 / 1e9
     total = dev_c + host_c + dev_d + host_d

@@ -41,6 +41,44 @@ def test_auto_rate_improves_ratio_and_keeps_bound(eb):
     assert hdr.brsf > 1.0
 
 
+def test_auto_rate_qt_composes_with_segments():
+    """rate="auto" x QT x the pipelined segment path (round 5): the trial
+    picks a brsf, the stream writer's global qtable pre-pass runs at that
+    geometry, every frame carries it, and the bound holds."""
+    import io
+
+    from dctz_tpu import stream
+
+    x = _smooth(1 << 16, seed=9)
+    cfg = CodecConfig(
+        mode="qt", error_bound=1e-3, container="v2", rate="auto",
+        segment_elems=1 << 14,
+    )
+    blob = dctz_tpu.compress(x, config=cfg)
+    assert blob[:4] == stream.MAGIC  # routed through the DTZS writer
+    y = dctz_tpu.decompress(blob)
+    m = dctz_tpu.evaluate(x, y, 1e-3, len(blob))
+    assert m["bound_satisfied"], m
+    # frames carry the chosen geometry AND the same global qtable
+    raw = memoryview(blob)
+    off = stream._HDR.size
+    brsfs, tables = [], []
+    while True:
+        (flen,) = stream._FRAME.unpack_from(raw, off)
+        if not flen:
+            break
+        hdr, _s, qtable, _cb = ct.parse_v2(
+            raw[off + stream._FRAME.size : off + stream._FRAME.size + flen]
+        )
+        assert hdr.mode == "qt"
+        brsfs.append(hdr.brsf)
+        tables.append(qtable)
+        off += stream._FRAME.size + flen
+    assert len(set(brsfs)) == 1
+    for t in tables[1:]:
+        np.testing.assert_array_equal(t[1:], tables[0][1:])
+
+
 def test_auto_rate_forces_verify_and_v2():
     x = _smooth(1 << 12)
     with warnings.catch_warnings(record=True) as w:

@@ -369,7 +369,11 @@ def measure_pipeline_1gb(dev_rate_s_per_seg: float) -> dict:
         "steady_state_gbps": round(gb / pipe, 3),
         "note": "device-resident input; device stage from the amortized "
                 "128 MB rate (scaling flat 128 MB-1 GB, docs/scaling.md); "
-                "tunnel pulls excluded as in the headline",
+                "tunnel pulls excluded as in the headline. The pack "
+                "intervals run WHILE the tunnel transfers saturate this "
+                "4-core host's network stack — the same 64 MB pack "
+                "measures ~11.5 ms quiet vs ~35 ms here (production "
+                "hosts pull via DMA)",
     }
 
 

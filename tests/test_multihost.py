@@ -289,12 +289,14 @@ def _chunk_offset(blob: bytes, chunk: memoryview) -> int:
     return np.frombuffer(chunk, np.uint8).ctypes.data - base.ctypes.data
 
 
-def test_dpk_range_decode_deferred_crc_is_range_local(monkeypatch):
+@pytest.mark.parametrize("codec", ["zstd", "none"])
+def test_dpk_range_decode_deferred_crc_is_range_local(monkeypatch, codec):
     """parse_v2(chunk_crcs="defer") + _decompress_dpk_range verifies ONLY
     the chunks the tile range touches: corruption outside the range goes
     unnoticed by the range decode (but is caught by the default full parse
     and by a range that covers it), and the crc'd payload bytes scale with
-    the range, not the container."""
+    the range, not the container. Covers the chunk-decoded (zstd) and the
+    verbatim (covering-chunk crc window) bulk codecs."""
     from dctz_tpu import api
     from dctz_tpu.config import CodecConfig
     from dctz_tpu.core import container as ct
@@ -309,8 +311,10 @@ def test_dpk_range_decode_deferred_crc_is_range_local(monkeypatch):
     )
     cfg = CodecConfig(
         mode="ec", error_bound=1e-3, container="v2", ids_codec="device",
-        segment_elems=0, chunk_bytes=4096, dpk_host_codec="zstd",
+        segment_elems=0, chunk_bytes=4096, dpk_host_codec=codec,
     )
+    if codec == "none":  # verbatim sections chunk at _VERBATIM_CHUNK
+        monkeypatch.setattr(api, "_VERBATIM_CHUNK", 4096)
     blob = dctz_tpu.compress(x, config=cfg)
     header, streams, qtable, _cb = ct.parse_v2(blob, chunk_crcs="defer")
     assert header.dpk

@@ -177,6 +177,7 @@ def main():
             probe_mm(rows)
     probe_roll(32, 512, 27)
     probe_roll(32, 512, 27, tiles_per_step=2)
+    probe_roll(32, 512, 27, tiles_per_step=8)
     probe_roll(64, 256, 24)
     probe_roll(128, 128, 21)
     probe_roll(32, 512, 9)

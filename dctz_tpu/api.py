@@ -568,9 +568,10 @@ def _plane_split2(dc: jax.Array, ac: jax.Array, dcd: bool = False):
 
 
 def _dcd_on(cfg: CodecConfig, header: ct.Header) -> bool:
-    """DC delta coding applies to v2 float32 containers (cfg.dc_delta,
-    default on). f64 containers keep raw DC (the delta is u32-item); v1
-    keeps the reference byte layout (docs/parity.md)."""
+    """DC delta coding applies to v2 float32 containers when the OPT-IN
+    cfg.dc_delta is set (default off — measured a wash, see config.py and
+    docs/benchmarks.md). f64 containers keep raw DC (the delta is
+    u32-item); v1 keeps the reference byte layout (docs/parity.md)."""
     return (
         cfg.dc_delta
         and cfg.container == "v2"
@@ -990,14 +991,7 @@ def _dpk_host_rebuild(
             )[b0:b1]
         # verbatim: decoded offset == stored offset, crc only the covering
         # chunks (deferred-crc parses; plain parses already swept)
-        if len(packed_raw) > 1:
-            cb = len(packed_raw[0])
-            entropy.verify_chunk_range(
-                packed_raw, min(b0 // cb, len(packed_raw) - 1),
-                min(len(packed_raw), -(-b1 // cb)),
-            )
-        else:
-            entropy.verify_chunk_range(packed_raw)
+        entropy.verify_covering_chunks(packed_raw, b0, b1)
         return memoryview(entropy.join_chunks(packed_raw))[b0:b1]
 
     def _exc_task():  # zst/rans flags cover the exceptions in DPK containers
@@ -1721,8 +1715,14 @@ def _resolve_segment(cfg: CodecConfig, n: int) -> int | None:
     monolithic (the reference container has no framing). QT joins EC under
     "auto" as of round 5: the stream writer runs a global qtable pre-pass
     (pass 1 over every segment, max-reduced) so each frame renormalizes
-    against the whole-array table — streamed QT semantics are monolithic-
-    identical (stream.compress_stream, tests/test_stream.py)."""
+    against the whole-array table — the streamed encoding decodes
+    bit-identically to the monolithic encoding OF THE SAME DISPATCH
+    (stream.compress_stream, tests/test_stream.py). For lengths that are
+    not block multiples the fused-TPU and XLA dispatches already treat the
+    tail block differently (zero-padded 64-point basis vs the rem-point
+    basis — both within the bound, api.py:1941); segmenting neither adds
+    nor removes that pre-existing backend property: DEFAULT_SEGMENT is a
+    1024 multiple, so the streamed tail pad equals the monolithic one."""
     from . import stream as dstream
 
     se = cfg.segment_elems

@@ -81,10 +81,11 @@ class Header:
     zst: bool = False  # v2: side sections (ids4 exc / DPK width, exc, meta) chunk-zstd
     dpks: bool = False  # v2: DPK packed section host-zstd-coded (fast ratio mode)
     #: v2: DC section stores order-preserving-u32 DELTAS of the block DC
-    #: values (restart every entropy.DC_RESTART blocks) — neighboring
-    #: blocks' DCs are strongly correlated on smooth fields, so the delta
-    #: planes compress far better (the reference deflates DC raw,
-    #: dctz-comp-lib.c:669-703). Lossless: exact u32 arithmetic both ways.
+    #: values (restart every entropy.DC_RESTART blocks). Opt-in
+    #: (cfg.dc_delta, default off — measured a wash on the available
+    #: workloads, docs/benchmarks.md; only genuinely random-walk DC
+    #: sequences gain). Lossless: exact u32 arithmetic both ways. The
+    #: reference deflates DC raw (dctz-comp-lib.c:669-703).
     dcd: bool = False
     #: bin-range scaling factor (reference compile-time BRSF, dctz.h:29).
     #: v2 records it in the reserved byte (0 = 1.0, else 2**((code-128)/8))

@@ -237,6 +237,24 @@ def verify_chunk_range(chunks, k0: int = 0, k1: int | None = None) -> None:
             )
 
 
+def verify_covering_chunks(chunks, b0: int, b1: int) -> None:
+    """verify_chunk_range over the chunks covering byte range [b0, b1) of
+    a section whose DECODED offsets equal its STORED offsets (verbatim /
+    raw-plane sections; uniform chunk size learned from chunk 0, the last
+    chunk may be short). Shared by the range-decode paths so the window
+    arithmetic lives in one place."""
+    if not chunks:
+        return
+    cb = len(chunks[0])
+    if len(chunks) == 1 or cb == 0:
+        verify_chunk_range(chunks)
+        return
+    verify_chunk_range(
+        chunks, min(b0 // cb, len(chunks) - 1),
+        min(len(chunks), -(-b1 // cb)),
+    )
+
+
 def crc32_many(chunks: Sequence[bytes]) -> list[int]:
     """crc32 of each chunk; large chunks hash on the pool (zlib.crc32
     releases the GIL above 5 KiB, so the table crcs of a multi-MB container
@@ -697,14 +715,7 @@ def decode_float_planes(chunks: list[bytes], item_range=None):
         for i, sub in enumerate(subs):
             m = methods[i]
             if m == 0:
-                if len(sub) > 1:  # raw: decoded offset == stored offset
-                    cb = len(sub[0])
-                    verify_chunk_range(
-                        sub, min(i0 // cb, len(sub) - 1),
-                        min(len(sub), -(-i1 // cb)),
-                    )
-                else:
-                    verify_chunk_range(sub)
+                verify_covering_chunks(sub, i0, i1)  # raw: offsets match
                 plane = memoryview(join_chunks(sub))[i0:i1]
             elif m == 3:
                 plane = decode_chunk_range(sub, i0, i1, zstd_decompress)

@@ -384,7 +384,9 @@ def _encode_segment_dpk(
             qt_ext,
         )
     qt_seg = (
-        qt_ext.astype(jnp.float32).at[0].set(outs[6][-1])
+        # slot 0 = this segment's last REAL block DC (outs[6] is padded to
+        # the 1024 quantum — [-1] would read a zero pad block's DC)
+        qt_ext.astype(jnp.float32).at[0].set(outs[6][-(-n // 64) - 1])
         if qt_ext is not None
         else None
     )

@@ -175,8 +175,9 @@ def test_stream_dpk_qt_fused_segments_roundtrip():
     fe._INTERPRET = True
     try:
         rng = np.random.default_rng(9)
-        x = (np.sin(np.arange(1 << 17, dtype=np.float32) * 0.01) * 20
-             + rng.standard_normal(1 << 17).astype(np.float32) * 0.05)
+        n = (1 << 17) + 1025  # unaligned: the tail segment pads to 1024
+        x = (np.sin(np.arange(n, dtype=np.float32) * 0.01) * 20
+             + rng.standard_normal(n).astype(np.float32) * 0.05)
         x[::977] *= 30.0
         cfg = CodecConfig(
             mode="qt", error_bound=1e-3, container="v2",
@@ -186,20 +187,41 @@ def test_stream_dpk_qt_fused_segments_roundtrip():
         stream.compress_stream(x, buf, config=cfg, segment_elems=1 << 16)
         raw = buf.getvalue()
         off = stream._HDR.size
-        (flen,) = stream._FRAME.unpack_from(raw, off)
-        hdr, _s, qt0, _cb = ct.parse_v2(
-            raw[off + stream._FRAME.size : off + stream._FRAME.size + flen]
-        )
-        assert hdr.dpk and hdr.mode == "qt" and qt0 is not None
+        qt_last = None
+        while True:
+            (flen,) = stream._FRAME.unpack_from(raw, off)
+            if not flen:
+                break
+            hdr, _s, qt_last, _cb = ct.parse_v2(
+                raw[off + stream._FRAME.size
+                    : off + stream._FRAME.size + flen]
+            )
+            assert hdr.dpk and hdr.mode == "qt" and qt_last is not None
+            off += stream._FRAME.size + flen
+        # slot 0 = the tail segment's last REAL block DC, not a zero pad
+        # block's (regression: outs[6][-1] indexed the padded dc array)
+        assert qt_last[0] != 0.0
         buf.seek(0)
         y = stream.decompress_stream_all(buf)
         tol = 1e-3 * (x.max() - x.min())
         assert np.abs(y - x).max() <= tol
 
+        # streamed == monolithic OF THE SAME DISPATCH, even unaligned
+        # (both zero-pad the same 1024-quantum tail; forcing chunked
+        # compaction makes the monolithic arm take the fused path too)
         import dataclasses
 
-        mono_cfg = dataclasses.replace(cfg, segment_elems=0)
-        y_mono = dctz_tpu.decompress(dctz_tpu.compress(x, config=mono_cfg))
+        from dctz_tpu.ops import compaction as cp
+
+        orig_cc = cp.use_chunked_compaction
+        cp.use_chunked_compaction = lambda: True
+        try:
+            mono_cfg = dataclasses.replace(cfg, segment_elems=0)
+            y_mono = dctz_tpu.decompress(
+                dctz_tpu.compress(x, config=mono_cfg)
+            )
+        finally:
+            cp.use_chunked_compaction = orig_cc
         np.testing.assert_array_equal(y, y_mono)
     finally:
         dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False

@@ -119,6 +119,29 @@ def test_dcd_sharded_decode():
     np.testing.assert_array_equal(y, dctz_tpu.decompress(blob))
 
 
+def test_dcd_container_corruption_detected():
+    """Sampled byte flips across a dcd container must never decode to
+    silently wrong data: every flip either raises (crc/parse) or — for
+    the rare crc-colliding-free header fields like the stored sf — still
+    decodes SOMETHING rather than crashing the process."""
+    x = _data(1 << 14, seed=8)
+    cfg = CodecConfig(
+        mode="ec", error_bound=1e-3, container="v2", ids_codec="device",
+        segment_elems=0, dc_delta=True,
+    )
+    blob = bytes(dctz_tpu.compress(x, config=cfg))
+    rng = np.random.default_rng(0)
+    raised = 0
+    for pos in rng.choice(len(blob), 64, replace=False):
+        bad = bytearray(blob)
+        bad[pos] ^= 0xA5
+        try:
+            dctz_tpu.decompress(bytes(bad))
+        except Exception:
+            raised += 1
+    assert raised >= 48  # payload flips (the vast majority) must raise
+
+
 def test_dcd_device_host_transforms_agree():
     """The device twins produce bit-identical transforms to the host ones
     (the plane-split encode uses the device version; host packers and the

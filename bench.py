@@ -89,7 +89,9 @@ CFG_DEFAULT = CodecConfig(
     mode="ec", error_bound=EB, container="v2", ids_codec="device",
     verify=True,  # segment_elems="auto": the pipelined default
 )
-REPS = 5  # host stages see 2-5x external noise; more best-of samples
+REPS = 7  # host stages see 2-5x external noise on this VM; the best-of
+# needs enough samples to catch a quiet window (round-5 captures varied
+# 12.9-27 ms on the decompress host stage at REPS=5)
 
 
 def climate_formula_np(n: int) -> np.ndarray:

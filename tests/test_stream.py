@@ -117,6 +117,23 @@ def test_stream_dpk_fused_segments_roundtrip():
         tol = 1e-3 * (x.max() - x.min())
         assert y.shape == x.shape
         assert np.abs(y - x).max() <= tol
+
+        # streamed EC == monolithic EC of the SAME dispatch, bit-for-bit
+        import dataclasses
+
+        from dctz_tpu.ops import compaction as cp
+
+        orig_cc = cp.use_chunked_compaction
+        cp.use_chunked_compaction = lambda: True
+        try:
+            y_mono = dctz_tpu.decompress(
+                dctz_tpu.compress(
+                    x, config=dataclasses.replace(cfg, segment_elems=0)
+                )
+            )
+        finally:
+            cp.use_chunked_compaction = orig_cc
+        np.testing.assert_array_equal(y, y_mono)
     finally:
         dpk_fuse._FORCE, dpk_fuse._INTERPRET = None, False
         jax.config.update("jax_enable_x64", old_x64)

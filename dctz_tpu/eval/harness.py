@@ -87,6 +87,8 @@ def run_one(
         t1 = time.perf_counter()
         rec = decompress(blob)
     t2 = time.perf_counter()
+    from ..utils.metrics import ssim as _ssim
+
     m = evaluate(x, rec, error_bound, len(blob))
     return {
         "compressor": f"dctz_{mode}_{engine}",
@@ -98,6 +100,7 @@ def run_one(
         "ratio": round(m["ratio"], 4),
         "psnr_db": round(m["psnr_db"], 3),
         "max_rel_err": m["max_rel_err"],
+        "ssim": round(_ssim(x, rec), 5),
         "bound_satisfied": m["bound_satisfied"],
         "verify": verify,
         "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),
@@ -127,6 +130,7 @@ def run_lossless_baseline(ds: Dataset, codec: str, data_dir: str | None = None) 
         "ratio": round(len(raw) / len(blob), 4),
         "psnr_db": float("inf"),
         "max_rel_err": 0.0,
+        "ssim": 1.0,
         "bound_satisfied": True,
         "verify": False,
         "compress_mb_s": round(len(raw) / 1e6 / dt, 2),
@@ -147,6 +151,8 @@ def run_sz_like(ds: Dataset, error_bound: float, data_dir: str | None = None) ->
     t1 = time.perf_counter()
     rec = sz_like.decompress(blob)
     t2 = time.perf_counter()
+    from ..utils.metrics import ssim as _ssim
+
     m = evaluate(x, rec, error_bound, len(blob))
     return {
         "compressor": "sz_like",
@@ -158,6 +164,7 @@ def run_sz_like(ds: Dataset, error_bound: float, data_dir: str | None = None) ->
         "ratio": round(m["ratio"], 4),
         "psnr_db": round(m["psnr_db"], 3),
         "max_rel_err": m["max_rel_err"],
+        "ssim": round(_ssim(x, rec), 5),
         "bound_satisfied": m["bound_satisfied"],
         "verify": True,  # bound-guaranteed by construction
         "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),

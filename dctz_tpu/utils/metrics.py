@@ -49,3 +49,36 @@ def evaluate(
 def psnr(original: np.ndarray, reconstructed: np.ndarray) -> float:
     """PSNR in dB over the value range (util.c:90-93)."""
     return evaluate(original, reconstructed, 0.0)["psnr_db"]
+
+
+def ssim(
+    original: np.ndarray, reconstructed: np.ndarray, window: int = 64
+) -> float:
+    """Windowed SSIM (Wang et al. 2004, uniform window) over the flat
+    stream — the quality axis the reference's Z-Checker workflow computes
+    externally (C19; reference README.md:98-127). 1-D windows of `window`
+    elements (the codec's natural block scale), K1=0.01 / K2=0.03, L =
+    the original's value range. 1.0 for identical or constant data."""
+    x = np.asarray(original).reshape(-1).astype(np.float64)
+    y = np.asarray(reconstructed).reshape(-1).astype(np.float64)
+    if x.size == 0 or np.array_equal(x, y):
+        return 1.0
+    L = float(x.max() - x.min())
+    if L == 0.0:
+        return 1.0
+    w = min(window, x.size)
+    c1 = (0.01 * L) ** 2
+    c2 = (0.03 * L) ** 2
+
+    def mov(a):
+        c = np.cumsum(np.concatenate(([0.0], a)))
+        return (c[w:] - c[:-w]) / w
+
+    mx, my = mov(x), mov(y)
+    vx = mov(x * x) - mx * mx
+    vy = mov(y * y) - my * my
+    cxy = mov(x * y) - mx * my
+    s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return float(s.mean())

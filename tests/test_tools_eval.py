@@ -71,6 +71,24 @@ def test_harness_run_one():
     assert row["bound_satisfied"]
     assert row["ratio"] > 1
     assert row["compressor"] == "dctz_ec_jax"
+    # the Z-Checker quality axis (round 5): recorded per row, near-1 at
+    # this loose bound, and a genuine similarity (not a constant)
+    assert 0.9 <= row["ssim"] <= 1.0
+
+
+def test_ssim_metric():
+    import numpy as np
+
+    from dctz_tpu.utils.metrics import ssim
+
+    x = np.sin(np.arange(20000, dtype=np.float64) * 0.01) * 5
+    assert ssim(x, x) == 1.0
+    rng = np.random.default_rng(0)
+    mild = ssim(x, x + rng.standard_normal(x.size) * 0.01)
+    harsh = ssim(x, x + rng.standard_normal(x.size) * 1.0)
+    assert 0.9 < mild < 1.0
+    assert harsh < mild  # monotone in distortion
+    assert ssim(np.ones(50), np.ones(50)) == 1.0
 
 
 def test_harness_lossless_baseline():

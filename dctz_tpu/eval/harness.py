@@ -100,7 +100,7 @@ def run_one(
         "ratio": round(m["ratio"], 4),
         "psnr_db": round(m["psnr_db"], 3),
         "max_rel_err": m["max_rel_err"],
-        "ssim": round(_ssim(x, rec), 5),
+        "ssim": round(_ssim(x, rec, shape=ds.dims), 5),
         "bound_satisfied": m["bound_satisfied"],
         "verify": verify,
         "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),
@@ -164,7 +164,7 @@ def run_sz_like(ds: Dataset, error_bound: float, data_dir: str | None = None) ->
         "ratio": round(m["ratio"], 4),
         "psnr_db": round(m["psnr_db"], 3),
         "max_rel_err": m["max_rel_err"],
-        "ssim": round(_ssim(x, rec), 5),
+        "ssim": round(_ssim(x, rec, shape=ds.dims), 5),
         "bound_satisfied": m["bound_satisfied"],
         "verify": True,  # bound-guaranteed by construction
         "compress_mb_s": round(x.nbytes / 1e6 / (t1 - t0), 2),

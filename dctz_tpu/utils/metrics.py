@@ -52,13 +52,20 @@ def psnr(original: np.ndarray, reconstructed: np.ndarray) -> float:
 
 
 def ssim(
-    original: np.ndarray, reconstructed: np.ndarray, window: int = 64
+    original: np.ndarray,
+    reconstructed: np.ndarray,
+    window: int = 64,
+    shape: tuple | None = None,
 ) -> float:
-    """Windowed SSIM (Wang et al. 2004, uniform window) over the flat
-    stream — the quality axis the reference's Z-Checker workflow computes
-    externally (C19; reference README.md:98-127). 1-D windows of `window`
-    elements (the codec's natural block scale), K1=0.01 / K2=0.03, L =
-    the original's value range. 1.0 for identical or constant data."""
+    """Windowed SSIM (Wang et al. 2004, uniform window) — the quality
+    axis the reference's Z-Checker workflow computes externally (C19;
+    reference README.md:98-127). K1=0.01 / K2=0.03, L = the original's
+    value range; 1.0 for identical or constant data.
+
+    Default: 1-D windows of `window` elements over the flat stream (the
+    codec's natural block scale). shape=(rows, cols): 8x8 2-D windows
+    over the field — the form Z-Checker applies to gridded data (the
+    CESM-ATM suite; eval/harness passes the dataset dims)."""
     x = np.asarray(original).reshape(-1).astype(np.float64)
     y = np.asarray(reconstructed).reshape(-1).astype(np.float64)
     if x.size == 0 or np.array_equal(x, y):
@@ -66,18 +73,43 @@ def ssim(
     L = float(x.max() - x.min())
     if L == 0.0:
         return 1.0
-    w = min(window, x.size)
     c1 = (0.01 * L) ** 2
     c2 = (0.03 * L) ** 2
 
-    def mov(a):
-        c = np.cumsum(np.concatenate(([0.0], a)))
-        return (c[w:] - c[:-w]) / w
+    if (
+        shape is not None
+        and len(shape) == 2
+        and shape[0] * shape[1] == x.size
+        and min(shape) >= 8
+    ):
+        w2 = 8
+        x2 = x.reshape(shape)
+        y2 = y.reshape(shape)
 
-    mx, my = mov(x), mov(y)
-    vx = mov(x * x) - mx * mx
-    vy = mov(y * y) - my * my
-    cxy = mov(x * y) - mx * my
+        def mov(a):
+            c = np.pad(np.cumsum(np.cumsum(a, 0), 1), ((1, 0), (1, 0)))
+            s = (
+                c[w2:, w2:] - c[:-w2, w2:] - c[w2:, :-w2]
+                + c[:-w2, :-w2]
+            )
+            return s / (w2 * w2)
+
+        mx, my = mov(x2), mov(y2)
+        vx = mov(x2 * x2) - mx * mx
+        vy = mov(y2 * y2) - my * my
+        cxy = mov(x2 * y2) - mx * my
+    else:
+        w = min(window, x.size)
+
+        def mov(a):
+            c = np.cumsum(np.concatenate(([0.0], a)))
+            return (c[w:] - c[:-w]) / w
+
+        mx, my = mov(x), mov(y)
+        vx = mov(x * x) - mx * mx
+        vy = mov(y * y) - my * my
+        cxy = mov(x * y) - mx * my
+
     s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
         (mx * mx + my * my + c1) * (vx + vy + c2)
     )

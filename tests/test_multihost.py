@@ -361,10 +361,13 @@ def test_dpk_range_decode_deferred_crc_is_range_local(monkeypatch, codec):
         ct.parse_v2(bad)
 
 
-def test_distributed_restore_monolithic_dpk(tmp_path):
-    """ONE monolithic DPK v2 container restored by 2 distributed processes:
-    each host decodes only its tile range (api._decompress_dpk_range) and
-    the slices reassemble to the bound-satisfying array."""
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_distributed_restore_monolithic_dpk(tmp_path, n_procs):
+    """ONE monolithic DPK v2 container restored by 2 AND 4 distributed
+    processes: each host decodes only its tile range
+    (api._decompress_dpk_range; O(range) crc via the deferred parse) and
+    the slices reassemble to the bound-satisfying array. At 4 processes
+    the tile split is uneven and trailing hosts may hold pure padding."""
     import importlib.util
 
     from dctz_tpu.config import CodecConfig
@@ -387,7 +390,7 @@ def test_distributed_restore_monolithic_dpk(tmp_path):
     (tmp_path / "mono.bin").write_bytes(blob)
 
     outs = _run_workers(
-        tmp_path, n_total, 2, "restore", "device",
+        tmp_path, n_total, n_procs, "restore", "device",
         stream=tmp_path / "mono.bin", tag="m",
     )
     parts = [np.load(o) for o in outs]
@@ -395,7 +398,7 @@ def test_distributed_restore_monolithic_dpk(tmp_path):
     # no frames: the tile-range path, not the DTZS frame path
     assert all(len(f) == 0 for f in frames), frames
     starts = sorted(int(pz["start"]) for pz in parts)
-    assert starts[0] == 0 and starts[1] > 0  # both hosts held real data
+    assert starts[0] == 0 and starts[1] > 0  # >= 2 hosts held real data
     assert dctz_tpu.evaluate(x, full, 1e-3)["bound_satisfied"]
 
 
